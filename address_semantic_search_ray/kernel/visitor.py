@@ -1,0 +1,358 @@
+"""Acceptance policy for trie matches — the heart of region interpretation.
+
+Direct semantic port of ``interpret/RegionInterpreterVisitor.java:61-557``:
+- best result = max accepted-term stack depth (``checkDeepMost`` ``:472-484``);
+- ``findAcceptableItem`` priority cascade (``:234-390``): nothing-matched-yet,
+  alias-guard for street/town, exact next-level child, skip-one-level, repeated
+  region, fault tolerance (city-level district under province; full-name
+  district overriding a wrong city), street/town/village under current district;
+- ``positioning`` pointer fix for ambiguous trailing 市/县/区/镇/乡 (``:206-225``);
+- ``endVisit`` stack/pos restore + division rebuild (``:140-192``);
+- ``updateCurrentDivisionState`` hierarchy backfill (``:423-471``).
+
+One visitor instance per actor/worker (stateful, reset per row) — mirrors the
+reference's explicitly non-thread-safe, zero-alloc reuse design (``:52-56``).
+"""
+
+from __future__ import annotations
+
+from .division import Division
+from .regions import RegionDict
+from .types import RegionType, TermType
+
+_AMBIGUOUS_CHARS = frozenset("市县区镇乡")
+
+_ACCEPTABLE_ITEM_TYPES = frozenset((
+    TermType.PROVINCE, TermType.CITY, TermType.DISTRICT,
+    TermType.STREET, TermType.TOWN, TermType.VILLAGE, TermType.IGNORE,
+))
+
+
+def _is_full_match(entry, region) -> bool:
+    # RegionInterpreterVisitor.java:391-399
+    if region is None:
+        return False
+    if len(entry.key) == len(region.name):
+        return True
+    if (
+        region.type == RegionType.STREET
+        and region.name.endswith("街道")
+        and len(region.name) == len(entry.key) + 1
+    ):
+        # xx街道 matched via alias xx镇/xx乡 counts as a full match
+        return True
+    return False
+
+
+class RegionVisitor:
+    __slots__ = (
+        "regions", "current_level", "deep_most_level", "current_pos", "deep_most_pos",
+        "full_match_count", "deep_most_full_match_count", "deep_most_division", "cur_division",
+        "stack",
+    )
+
+    def __init__(self, regions: RegionDict):
+        self.regions = regions
+        self.deep_most_division = Division()
+        self.cur_division = Division()
+        self.stack: list[tuple[str, object]] = []
+        self.reset()
+
+    # -- visitor contract --------------------------------------------------
+
+    def start_round(self):
+        self.current_level += 1
+
+    def visit(self, entry, text: str, pos: int) -> bool:
+        item = self._find_acceptable_item(entry, text, pos)
+        if item is None:
+            return False
+        region = item[1]  # None for Ignore items
+        self.stack.append(item)
+        if _is_full_match(entry, region):
+            self.full_match_count += 1
+        self.current_pos = self._positioning(region, entry, text, pos)
+        self._update_current_division(region)
+        return True
+
+    def position_after_accept_item(self) -> int:
+        return self.current_pos
+
+    def end_visit(self, entry, text: str, pos: int):
+        # RegionInterpreterVisitor.java:140-192
+        self._check_deep_most()
+
+        term_type, region = self.stack.pop()
+        self.current_pos = pos - len(entry.key)
+        if _is_full_match(entry, region):
+            # NOTE: the reference *increments* here too (:149) — kept for parity.
+            self.full_match_count += 1
+        if term_type == TermType.IGNORE:
+            return
+
+        cur = self.cur_division
+        least = street = town = village = None
+        for t, r in self.stack:
+            if t == TermType.IGNORE:
+                continue
+            rt = r.type
+            if rt in (RegionType.STREET, RegionType.PLATFORM_L4):
+                street = r
+                continue
+            if rt == RegionType.TOWN:
+                town = r
+                continue
+            if rt == RegionType.VILLAGE:
+                village = r
+                continue
+            if least is None or rt > least.type:
+                least = r
+
+        if street is None:
+            cur.street = None
+        if town is None:
+            cur.town = None
+        if village is None:
+            cur.village = None
+        if cur.street is not None or cur.town is not None or cur.village is not None:
+            return
+        if least is not None:
+            if least.type in (RegionType.PROVINCE, RegionType.PROVINCE_LEVEL_CITY1):
+                cur.city = None
+                cur.district = None
+            elif least.type in (RegionType.CITY, RegionType.PROVINCE_LEVEL_CITY2):
+                cur.district = None
+            return
+        cur.province = None
+        cur.city = None
+        cur.district = None
+
+    def end_round(self):
+        self._check_deep_most()
+        self.current_level -= 1
+
+    # -- internals ---------------------------------------------------------
+
+    def _positioning(self, region, entry, text: str, pos: int) -> int:
+        # RegionInterpreterVisitor.java:206-225
+        if region is None:
+            return pos
+        if (
+            region.type in (RegionType.CITY, RegionType.DISTRICT, RegionType.STREET)
+            and not _is_full_match(entry, region)
+            and pos + 1 <= len(text) - 1
+        ):
+            c = text[pos + 1]
+            if c in _AMBIGUOUS_CHARS:
+                if region.children:
+                    for child in region.children:
+                        if child.name[0] == c:
+                            return pos
+                return pos + 1
+        return pos
+
+    def _find_acceptable_item(self, entry, text: str, pos: int):
+        # RegionInterpreterVisitor.java:234-390
+        most_priority = -1
+        acceptable = None
+        cur = self.cur_division
+        get_region = self.regions.get
+        for item in entry.items:
+            term_type, region = item
+            if term_type not in _ACCEPTABLE_ITEM_TYPES:
+                continue
+
+            if term_type == TermType.IGNORE:
+                if acceptable is None:
+                    most_priority = 4
+                    acceptable = item
+                continue
+
+            # nothing matched yet -> pick the highest level (lowest type value)
+            if cur.province is None:
+                if most_priority == -1:
+                    most_priority = int(region.type)
+                    acceptable = item
+                if int(region.type) < most_priority:
+                    most_priority = int(region.type)
+                    acceptable = item
+                continue
+
+            # alias-matched street/town can't be followed by region/road keywords
+            if not _is_full_match(entry, region) and pos + 1 <= len(text) - 1:
+                if region.type in (RegionType.STREET, RegionType.TOWN):
+                    nxt = text[pos + 1]
+                    if nxt in "区县乡镇村街路":
+                        continue
+                    if nxt == "大" and pos + 2 <= len(text) - 1 and text[pos + 2] in "街道":
+                        continue
+
+            # 1. exact next-level child of the current division
+            least = cur.least_region()
+            if least is not None and region.parent_id == least.id:
+                acceptable = item
+                break
+
+            # 2. one level missing in the middle
+            if most_priority == -1 or most_priority > 2:
+                parent = get_region(region.parent_id)
+                # 2.1 city missing: province + district
+                if (
+                    cur.city is None
+                    and cur.province is not None
+                    and region.type == RegionType.DISTRICT
+                    and parent is not None
+                    and cur.province.id == parent.parent_id
+                ):
+                    most_priority = 2
+                    acceptable = item
+                    continue
+                # 2.2 district missing: city + street/town/village/platform-L4
+                if (
+                    cur.district is None
+                    and cur.city is not None
+                    and region.type in (
+                        RegionType.STREET, RegionType.TOWN,
+                        RegionType.PLATFORM_L4, RegionType.VILLAGE,
+                    )
+                    and parent is not None
+                    and cur.city.id == parent.parent_id
+                ):
+                    most_priority = 2
+                    acceptable = item
+                    continue
+
+            # 3. region repeated in the address
+            if most_priority == -1 or most_priority > 3:
+                if (
+                    (cur.province is not None and cur.province.id == region.id)
+                    or (cur.city is not None and cur.city.id == region.id)
+                    or (cur.district is not None and cur.district.id == region.id)
+                    or (cur.street is not None and cur.street.id == region.id)
+                    or (cur.town is not None and cur.town.id == region.id)
+                    or (cur.village is not None and cur.village.id == region.id)
+                ):
+                    most_priority = 3
+                    acceptable = item
+                    continue
+
+            # 4. fault tolerance
+            if most_priority == -1 or most_priority > 4:
+                # 4.1 city-level district directly under the matched province (阿拉尔)
+                if (
+                    region.type == RegionType.CITY_LEVEL_DISTRICT
+                    and cur.province is not None
+                    and cur.province.id == region.parent_id
+                ):
+                    most_priority = 4
+                    acceptable = item
+                    continue
+                # 4.2 full-name district whose city disagrees but province agrees
+                if (
+                    region.type == RegionType.DISTRICT
+                    and cur.city is not None
+                    and cur.province is not None
+                    and _is_full_match(entry, region)
+                    and cur.city.id != region.parent_id
+                ):
+                    city = get_region(region.parent_id)
+                    if city is not None and city.parent_id == cur.province.id:
+                        most_priority = 4
+                        acceptable = item
+                        continue
+
+            # 5. street/town/village not covered above
+            if region.type in (
+                RegionType.STREET, RegionType.TOWN, RegionType.VILLAGE, RegionType.PLATFORM_L4
+            ):
+                if cur.district is None:
+                    parent = get_region(region.parent_id)  # district
+                    parent = get_region(parent.parent_id) if parent is not None else None  # city
+                    if cur.city is not None and parent is not None and cur.city.id == parent.id:
+                        most_priority = 5
+                        acceptable = item
+                        continue
+                elif region.parent_id == cur.district.id:
+                    most_priority = 5
+                    acceptable = item
+                    continue
+
+        return acceptable
+
+    def _update_current_division(self, region):
+        # RegionInterpreterVisitor.java:423-471
+        if region is None:
+            return
+        cur = self.cur_division
+        if region in (cur.province, cur.city, cur.district, cur.street, cur.town, cur.village):
+            return
+        get_region = self.regions.get
+        t = region.type
+        if t in (RegionType.PROVINCE, RegionType.PROVINCE_LEVEL_CITY1):
+            cur.province = region
+            cur.city = None
+        elif t in (RegionType.CITY, RegionType.PROVINCE_LEVEL_CITY2):
+            cur.city = region
+            if cur.province is None:
+                cur.province = get_region(region.parent_id)
+        elif t == RegionType.CITY_LEVEL_DISTRICT:
+            cur.city = region
+            cur.district = region
+            if cur.province is None:
+                cur.province = get_region(region.parent_id)
+        elif t == RegionType.DISTRICT:
+            cur.district = region
+            # a matched district forces its city (and province)
+            cur.city = get_region(cur.district.parent_id)
+            if cur.province is None and cur.city is not None:
+                cur.province = get_region(cur.city.parent_id)
+        elif t in (RegionType.STREET, RegionType.PLATFORM_L4):
+            if cur.street is None:
+                cur.street = region
+            if cur.district is None:
+                cur.district = get_region(region.parent_id)
+        elif t == RegionType.TOWN:
+            if cur.town is None:
+                cur.town = region
+            if cur.district is None:
+                cur.district = get_region(region.parent_id)
+        elif t == RegionType.VILLAGE:
+            if cur.village is None:
+                cur.village = region
+            if cur.district is None:
+                cur.district = get_region(region.parent_id)
+
+    def _check_deep_most(self):
+        if len(self.stack) > self.deep_most_level:
+            self.deep_most_level = len(self.stack)
+            self.deep_most_pos = self.current_pos
+            self.deep_most_full_match_count = self.full_match_count
+            self.deep_most_division.copy_from(self.cur_division)
+
+    # -- results -----------------------------------------------------------
+
+    def has_result(self) -> bool:
+        return self.deep_most_pos > 0 and self.deep_most_division.district is not None
+
+    def result_end_position(self) -> int:
+        return self.deep_most_pos
+
+    def result_match_count(self) -> int:
+        return self.deep_most_level
+
+    def result_full_match_count(self) -> int:
+        return self.deep_most_full_match_count
+
+    def result_division(self) -> Division:
+        return self.deep_most_division
+
+    def reset(self):
+        self.current_level = 0
+        self.deep_most_level = 0
+        self.current_pos = -1
+        self.deep_most_pos = -1
+        self.full_match_count = 0
+        self.deep_most_full_match_count = 0
+        self.deep_most_division.reset()
+        self.cur_division.reset()
+        self.stack.clear()
