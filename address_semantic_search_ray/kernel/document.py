@@ -80,29 +80,29 @@ def term_idf_key(term: Term) -> str:
     return term.text
 
 
-def analyse(addr: Address, idf_lookup=None, segment=simple_segment, doc_id: int | None = None) -> Doc:
-    """Build a Doc from an interpreted address (SimilarityComputer.java:110-159).
-
-    ``idf_lookup``: mapping term_key -> idf; if given (query side), idf is
-    stamped with the MISSING_IDF=4 fallback for absent keys.
-    """
-    doc = Doc(addr.id if doc_id is None else doc_id)
-    tokens = segment(addr.text) if addr.text else []
+def doc_from_fields(doc_id, town: str, village: str, road: str, road_num: str,
+                    residual: str, idf_lookup=None, segment=simple_segment) -> Doc:
+    """Build a Doc from plain string fields (the Arrow-columnar form used by
+    the Ray stages). Mirrors ``analyse`` (SimilarityComputer.java:110-159):
+    term order [Town?, Village?, Road?, RoadNum?, text tokens...], text tokens
+    deduped against all prior terms, first occurrence kept."""
+    doc = Doc(doc_id)
+    tokens = segment(residual) if residual else []
 
     terms: list[Term] = []
-    if addr.town is not None:
-        doc.town = Term(TermType.TOWN, addr.town.name)
+    if town:
+        doc.town = Term(TermType.TOWN, town)
         terms.append(doc.town)
-    if addr.village is not None:
-        doc.village = Term(TermType.VILLAGE, addr.village.name)
+    if village:
+        doc.village = Term(TermType.VILLAGE, village)
         terms.append(doc.village)
-    if addr.road:
-        doc.road = Term(TermType.ROAD, addr.road)
+    if road:
+        doc.road = Term(TermType.ROAD, road)
         terms.append(doc.road)
-    if addr.road_num:
-        rn = Term(TermType.ROAD_NUM, addr.road_num, ref=doc.road)
+    if road_num:
+        rn = Term(TermType.ROAD_NUM, road_num, ref=doc.road)
         doc.road_num = rn
-        doc.road_num_value = translate_road_num(addr.road_num)
+        doc.road_num_value = translate_road_num(road_num)
         terms.append(rn)
 
     # text tokens, deduped against ALL existing terms, first occurrence kept
@@ -120,6 +120,24 @@ def analyse(addr: Address, idf_lookup=None, segment=simple_segment, doc_id: int 
 
     doc.terms = terms
     return doc
+
+
+def analyse(addr: Address, idf_lookup=None, segment=simple_segment, doc_id: int | None = None) -> Doc:
+    """Build a Doc from an interpreted address (SimilarityComputer.java:110-159).
+
+    ``idf_lookup``: mapping term_key -> idf; if given (query side), idf is
+    stamped with the MISSING_IDF=4 fallback for absent keys.
+    """
+    return doc_from_fields(
+        addr.id if doc_id is None else doc_id,
+        addr.town.name if addr.town is not None else "",
+        addr.village.name if addr.village is not None else "",
+        addr.road,
+        addr.road_num,
+        addr.text,
+        idf_lookup=idf_lookup,
+        segment=segment,
+    )
 
 
 def doc_term_keys(doc: Doc) -> list[str]:

@@ -1,0 +1,80 @@
+"""Address-mention detection in free conversational text.
+
+The reference interprets whole-line addresses (``deepMostQuery`` anchored at
+position 0, ``AddressInterpreter.java:295-307``); its only mid-text scanning is
+``removeRedundancy``'s sliding restart (``:342-389``). For transcripts we apply
+the same trie scan at every candidate start position: a mention begins where
+the visitor resolves a full province+city+district prefix, and extends through
+the following non-delimiter text (the residual the similarity kernel scores).
+"""
+
+from __future__ import annotations
+
+from .interpreter import Address, Interpreter
+from .visitor import RegionVisitor
+
+# sentence delimiters that terminate a mention's residual tail
+_STOP_CHARS = frozenset("，。！？；：、,.!?;: \t\r\n\"'（）()【】[]{}<>《》")
+
+MAX_TAIL = 40  # max residual chars after the region prefix
+
+
+class Mention:
+    __slots__ = ("start", "end", "text", "addr")
+
+    def __init__(self, start: int, end: int, text: str, addr: Address):
+        self.start = start
+        self.end = end
+        self.text = text
+        self.addr = addr
+
+
+def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | None = None) -> list[Mention]:
+    """Scan ``text`` for address mentions; returns interpreted mentions."""
+    if not text:
+        return []
+    if visitor is None:
+        visitor = interpreter.visitor
+    trie = interpreter.trie
+    root_children = trie.root.children or {}
+    mentions: list[Mention] = []
+    n = len(text)
+    i = 0
+    while i < n - 2:
+        if text[i] not in root_children:
+            i += 1
+            continue
+        visitor.reset()
+        trie.deep_most_query(text, i, visitor)
+        div = visitor.result_division()
+        if not (
+            visitor.has_result()
+            and div.province is not None
+            and div.city is not None
+        ):
+            i += 1
+            continue
+        region_end = visitor.result_end_position()  # inclusive, absolute
+        # extend through the residual until a delimiter
+        j = region_end + 1
+        tail_limit = min(n, j + MAX_TAIL)
+        while j < tail_limit and text[j] not in _STOP_CHARS:
+            j += 1
+        mention_text = text[i:j]
+        addr = interpreter.interpret(mention_text)
+        if addr is not None and addr.city is not None and addr.district is not None:
+            mentions.append(Mention(i, j, mention_text, addr))
+            i = j
+        else:
+            i += 1
+    return mentions
+
+
+def district_key(addr: Address) -> str:
+    """Partition key, per the reference cache key ``"{pid}-{cid}[-{did}]"``
+    (SimilarityComputer.buildCacheKey, java:619-626)."""
+    if addr.province is None or addr.city is None:
+        return ""
+    if addr.city.children:
+        return f"{addr.province.id}-{addr.city.id}-{addr.district.id}"
+    return f"{addr.province.id}-{addr.city.id}"

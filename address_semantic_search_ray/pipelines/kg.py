@@ -1,0 +1,161 @@
+"""The flagship Ray-Data KG-construction pipeline (SURVEY.md §3 target lifecycle).
+
+    read_parquet(addresses)   -> map_batches(CorpusInterpretStage, actor pool)
+                              -> doc_vectors/ (hive-partitioned by district_key)
+    doc_vectors               -> partial df combine -> groupby((district,term)).sum
+                              -> idf finalize -> idf/ (hive-partitioned)
+    read_parquet(transcripts) -> map_batches(MentionStage, actor pool)
+                              -> mentions/
+    mentions                  -> groupby(district_key[, salt]).map_groups(linker)
+                              -> links/
+    links                     -> emit triples -> groupby(conv_id).map_groups(
+                                 stable-sort + dedup)  [K3 + D4]
+    mentions                  -> explode region chain -> groupby((subj,obj)).first
+    both                      -> triples/ Parquet
+
+Shuffle keys: (district_key, term_key) for IDF, district_key for linking,
+conv_id for canonicalization — ONE partitioning key reused per concern.
+Every stage boundary is a resumable checkpoint (state/checkpoint.py).
+
+Must NOT call ray.init(): the driver/bench owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+from ..stages.idf import build_idf
+from ..stages.interpret import CorpusInterpretStage, MentionStage, put_region_table
+from ..stages.link import make_link_group_fn
+from ..stages.triples import (
+    canonicalize_conv_group, emit_turn_triples, explode_part_of_edges, part_of_group_first,
+)
+from ..state.checkpoint import StageRunner, fingerprint_paths
+from .oracle import default_region_dict_path
+
+
+def run_kg_pipeline(
+    data_dir: str,
+    work_dir: str,
+    region_dict_path: str | None = None,
+    *,
+    top_n: int = 1,
+    concurrency: int = 4,
+    batch_size: int = 2048,
+    salt: int = 1,
+    resume: bool = True,
+) -> dict:
+    """Run the full pipeline; returns {"triples": path, "metrics": [...]}."""
+    region_dict_path = region_dict_path or default_region_dict_path()
+    addresses_path = os.path.join(data_dir, "addresses.parquet")
+    transcripts_path = os.path.join(data_dir, "transcripts.parquet")
+
+    runner = StageRunner(work_dir, resume=resume)
+    region_ref = None
+
+    def get_region_ref():
+        nonlocal region_ref
+        if region_ref is None:
+            region_ref = put_region_table(region_dict_path)
+        return region_ref
+
+    params = {"top_n": top_n, "salt": salt}
+
+    # -- stage 1: corpus doc vectors ---------------------------------------
+    fp_corpus = fingerprint_paths(addresses_path, region_dict_path, extra=params)
+
+    def write_corpus(tmp):
+        ds = rd.read_parquet(addresses_path, columns=["addr_id", "text"])
+        ds = ds.map_batches(
+            CorpusInterpretStage,
+            fn_constructor_args=(get_region_ref(),),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        ds.write_parquet(tmp, partition_cols=["district_key"])
+
+    doc_dir = runner.run("doc_vectors", fp_corpus, write_corpus)
+
+    # -- stage 2: distributed IDF ------------------------------------------
+    fp_idf = fingerprint_paths(doc_dir, extra=params)
+
+    def write_idf(tmp):
+        corpus_ds = rd.read_parquet(doc_dir)
+        idf_ds = build_idf(corpus_ds)
+        idf_ds.write_parquet(tmp, partition_cols=["district_key"])
+
+    idf_dir = runner.run("idf", fp_idf, write_idf)
+
+    # -- stage 3: mention detection ----------------------------------------
+    fp_mentions = fingerprint_paths(transcripts_path, region_dict_path, extra=params)
+
+    def write_mentions(tmp):
+        ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
+        ds = ds.map_batches(
+            MentionStage,
+            fn_constructor_args=(get_region_ref(),),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        ds.write_parquet(tmp)
+
+    mentions_dir = runner.run("mentions", fp_mentions, write_mentions)
+
+    # -- stage 4: co-partitioned linking -----------------------------------
+    fp_links = fingerprint_paths(mentions_dir, doc_dir, idf_dir, extra=params)
+
+    def write_links(tmp):
+        ds = rd.read_parquet(mentions_dir)
+        link_fn = make_link_group_fn(doc_dir, idf_dir, top_n=top_n)
+        if salt > 1:
+            # split hot districts across `salt` group tasks; output is
+            # salt-invariant (each task re-reads the small corpus side).
+            # crc32 (not builtin hash) so the key is stable across processes.
+            import zlib
+
+            import pyarrow as pa
+
+            def add_salt(batch: pa.Table) -> pa.Table:
+                salts = [zlib.crc32(c.encode()) % salt
+                         for c in batch.column("conv_id").to_pylist()]
+                return batch.append_column("salt", pa.array(salts, pa.int32()))
+
+            ds = ds.map_batches(add_salt, batch_format="pyarrow")
+            grouped = ds.groupby(["district_key", "salt"])
+        else:
+            grouped = ds.groupby("district_key")
+        out = grouped.map_groups(link_fn, batch_format="pyarrow")
+        if salt > 1:
+            out = out.drop_columns(["salt"]) if "salt" in out.schema().names else out
+        out.write_parquet(tmp)
+
+    links_dir = runner.run("links", fp_links, write_links)
+
+    # -- stage 5: triples + canonicalization -------------------------------
+    fp_triples = fingerprint_paths(links_dir, mentions_dir, extra=params)
+
+    def write_triples(tmp):
+        links_ds = rd.read_parquet(links_dir)
+        conv_triples = (
+            links_ds.map_batches(emit_turn_triples, batch_format="pyarrow")
+            .groupby("conv_id")
+            .map_groups(canonicalize_conv_group, batch_format="pyarrow")
+        )
+        part_of = (
+            rd.read_parquet(mentions_dir, columns=["region_chain"])
+            .map_batches(explode_part_of_edges, batch_format="pyarrow")
+            .groupby(["subj", "obj"])
+            .map_groups(part_of_group_first, batch_format="pyarrow")
+        )
+        conv_triples.union(part_of).write_parquet(tmp)
+
+    triples_dir = runner.run("triples", fp_triples, write_triples)
+
+    metrics_path = runner.flush_metrics()
+    return {"triples": triples_dir, "mentions": mentions_dir, "doc_vectors": doc_dir,
+            "idf": idf_dir, "links": links_dir, "metrics": runner.metrics,
+            "metrics_path": metrics_path}

@@ -1,0 +1,91 @@
+"""Distributed IDF build (the north rule's groupby-aggregate).
+
+A1 (``SimilarityComputer.statInverseDocRefers``, java:166-187): document
+frequency per (district_key, term_key). Pre-aggregated INSIDE ``map_batches``
+(one partial-count row per key per batch) before the hash-shuffle groupby, so
+the all-to-all exchange moves partials, not raw term occurrences.
+
+A2 (idf finalize, java:580-599): ``idf = ln(n_docs/(df+1))`` clamped >=0,
+numeric/ASCII keys forced to 2. Per-district doc counts are a tiny aggregate
+(one row per district) — collected to the driver and broadcast into the
+finalize ``map_batches`` via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+
+def partial_df_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: explode term_keys and count (district, key) pairs."""
+    counts: Counter = Counter()
+    doc_counts: Counter = Counter()
+    keys_col = batch.column("term_keys").to_pylist()
+    dist_col = batch.column("district_key").to_pylist()
+    for dist, keys in zip(dist_col, keys_col):
+        doc_counts[dist] += 1
+        for k in keys:
+            counts[(dist, k)] += 1
+    # doc-count partials ride along as term_key="" rows (no real term key is
+    # empty — analyse() never emits empty-text terms)
+    rows_d, rows_k, rows_c = [], [], []
+    for (dist, key), c in counts.items():
+        rows_d.append(dist)
+        rows_k.append(key)
+        rows_c.append(c)
+    for dist, c in doc_counts.items():
+        rows_d.append(dist)
+        rows_k.append("")
+        rows_c.append(c)
+    return pa.table({
+        "district_key": pa.array(rows_d, pa.string()),
+        "term_key": pa.array(rows_k, pa.string()),
+        "df": pa.array(rows_c, pa.int64()),
+    })
+
+
+def build_idf(corpus_ds, doc_counts_out: dict | None = None):
+    """corpus doc rows -> idf Dataset (district_key, term_key, idf).
+
+    The shuffle key is (district_key, term_key); partials are combined by a
+    hash aggregate. Returns the idf dataset; if ``doc_counts_out`` is given it
+    is filled with {district_key: n_docs} (driver-side, tiny).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    partials = corpus_ds.map_batches(partial_df_counts, batch_format="pyarrow")
+    df = partials.groupby(["district_key", "term_key"]).aggregate(Sum("df", alias_name="df"))
+
+    # split out the doc-count rows (term_key == "")
+    import pyarrow.compute as pc
+
+    def split_docs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("term_key"), ""))
+
+    doc_counts_tbl = df.map_batches(split_docs, batch_format="pyarrow").to_pandas()
+    doc_counts = dict(zip(doc_counts_tbl["district_key"], doc_counts_tbl["df"]))
+    if doc_counts_out is not None:
+        doc_counts_out.update(doc_counts)
+    counts_ref = ray.put(doc_counts)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from ..kernel.similarity import compute_idf
+
+        batch = batch.filter(pc.not_equal(batch.column("term_key"), ""))
+        dists = batch.column("district_key").to_pylist()
+        keys = batch.column("term_key").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        counts = ray.get(counts_ref)
+        idfs = []
+        for dist, key, dfv in zip(dists, keys, dfs):
+            idfs.append(compute_idf(counts.get(dist, 0), {key: dfv})[key])
+        return pa.table({
+            "district_key": pa.array(dists, pa.string()),
+            "term_key": pa.array(keys, pa.string()),
+            "idf": pa.array(idfs, pa.float64()),
+        })
+
+    return df.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,145 @@
+"""Actor-pool interpretation stages (stateful ``map_batches`` UDFs).
+
+Design (SURVEY.md §2.3/§7): the region dictionary (~48k rows, ~1 MB Arrow) is
+``ray.put`` ONCE on the driver; every actor fetches it in ``__init__`` (one
+object-store read per actor, never re-shipped per batch) and builds its own
+trie + visitor — replicated read-only state, mirroring the reference's
+one-visitor-per-thread rule (RegionInterpreterVisitor.java:52-56).
+
+Batches are ``pyarrow`` in / ``pyarrow`` out (zero-copy from the object
+store); the per-row trie walk is pure CPU inside the actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernel.interpreter import Interpreter
+from ..kernel.mentions import district_key, find_mentions
+from ..kernel.regions import RegionDict
+
+
+def put_region_table(region_dict_path: str):
+    """Driver-side: load the region dict parquet and put it in the object store."""
+    import pyarrow.parquet as pq
+    import ray
+
+    return ray.put(pq.read_table(region_dict_path))
+
+
+class _RegionStateMixin:
+    def _init_interpreter(self, region_ref):
+        import ray
+
+        table = ray.get(region_ref) if not isinstance(region_ref, pa.Table) else region_ref
+        self.regions = RegionDict.from_arrow(table)
+        self.interpreter = Interpreter(self.regions)
+
+
+def _region_ids(addr):
+    """(least_region_id, hierarchy chain ids root-ward, collapsed)."""
+    chain = [addr.village, addr.town, addr.street, addr.district, addr.city, addr.province]
+    ids = []
+    for r in chain:
+        if r is not None and (not ids or ids[-1] != r.id):
+            ids.append(r.id)
+    return (ids[0] if ids else 0), ids
+
+
+class CorpusInterpretStage(_RegionStateMixin):
+    """addresses(addr_id, text) -> doc-vector rows (one per interpretable address).
+
+    Output columns: addr_id, district_key, town, village, road, road_num,
+    residual (the analyse() inputs — tokens re-derived deterministically at
+    load), plus term_keys (list<string>) for the distributed IDF groupby (A1).
+    """
+
+    def __init__(self, region_ref):
+        self._init_interpreter(region_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.document import analyse, term_idf_key
+
+        it = self.interpreter
+        out = {k: [] for k in ("addr_id", "district_key", "town", "village",
+                               "road", "road_num", "residual", "term_keys")}
+        for addr_id, text in zip(batch.column("addr_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+            a = it.interpret(text)
+            if a is None or a.city is None or a.district is None:
+                continue
+            a.id = addr_id
+            doc = analyse(a)
+            out["addr_id"].append(addr_id)
+            out["district_key"].append(district_key(a))
+            out["town"].append(a.town.name if a.town is not None else "")
+            out["village"].append(a.village.name if a.village is not None else "")
+            out["road"].append(a.road)
+            out["road_num"].append(a.road_num)
+            out["residual"].append(a.text)
+            out["term_keys"].append([term_idf_key(t) for t in doc.terms])
+        return pa.table({
+            "addr_id": pa.array(out["addr_id"], pa.int64()),
+            "district_key": pa.array(out["district_key"], pa.string()),
+            "town": pa.array(out["town"], pa.string()),
+            "village": pa.array(out["village"], pa.string()),
+            "road": pa.array(out["road"], pa.string()),
+            "road_num": pa.array(out["road_num"], pa.string()),
+            "residual": pa.array(out["residual"], pa.string()),
+            "term_keys": pa.array(out["term_keys"], pa.list_(pa.string())),
+        })
+
+
+class MentionStage(_RegionStateMixin):
+    """transcripts -> one row per detected address mention.
+
+    Output: conv_id, turn_idx, mention_idx (scan order within the turn), role,
+    district_key, town, village, road, road_num, residual, least_region_id,
+    region_chain (list<int64>, leaf->root).
+    """
+
+    def __init__(self, region_ref):
+        self._init_interpreter(region_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        it = self.interpreter
+        out = {k: [] for k in ("conv_id", "turn_idx", "mention_idx", "role", "district_key",
+                               "town", "village", "road", "road_num",
+                               "residual", "least_region_id", "region_chain")}
+        for conv_id, turn_idx, role, text in zip(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("role").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if not text:
+                continue
+            for mention_idx, m in enumerate(find_mentions(text, it)):
+                a = m.addr
+                least, chain = _region_ids(a)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["mention_idx"].append(mention_idx)
+                out["role"].append(role)
+                out["district_key"].append(district_key(a))
+                out["town"].append(a.town.name if a.town is not None else "")
+                out["village"].append(a.village.name if a.village is not None else "")
+                out["road"].append(a.road)
+                out["road_num"].append(a.road_num)
+                out["residual"].append(a.text)
+                out["least_region_id"].append(least)
+                out["region_chain"].append(chain)
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "mention_idx": pa.array(out["mention_idx"], pa.int32()),
+            "role": pa.array(out["role"], pa.string()),
+            "district_key": pa.array(out["district_key"], pa.string()),
+            "town": pa.array(out["town"], pa.string()),
+            "village": pa.array(out["village"], pa.string()),
+            "road": pa.array(out["road"], pa.string()),
+            "road_num": pa.array(out["road_num"], pa.string()),
+            "residual": pa.array(out["residual"], pa.string()),
+            "least_region_id": pa.array(out["least_region_id"], pa.int64()),
+            "region_chain": pa.array(out["region_chain"], pa.list_(pa.int64())),
+        })

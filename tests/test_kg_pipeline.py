@@ -1,0 +1,132 @@
+"""End-to-end: Ray KG pipeline triples == single-process oracle triples.
+
+This is the binding P/R gate (BASELINE.md): both sides share the kernel, so
+the comparison isolates orchestration — partitioning, shuffles, stable turn
+ordering, dedup. Also covers resume-from-checkpoint semantics.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from address_semantic_search_ray.data.synth import ensure_dataset
+from address_semantic_search_ray.pipelines.oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return ensure_dataset(0.001, root="/tmp/asr_synth_test")
+
+
+def _triple_set(table):
+    return set(zip(
+        table.column("subj").to_pylist(),
+        table.column("pred").to_pylist(),
+        table.column("obj").to_pylist(),
+        table.column("conv_id").to_pylist(),
+        table.column("turn_idx").to_pylist(),
+        table.column("district_key").to_pylist(),
+        [round(s, 9) for s in table.column("score").to_pylist()],
+    ))
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, tiny_data, tmp_path_factory):
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+
+    work = str(tmp_path_factory.mktemp("kgwork"))
+    result = run_kg_pipeline(tiny_data, work, concurrency=2, salt=1)
+    return result
+
+
+def test_triples_match_oracle(tiny_data, pipeline_result):
+    oracle = run_oracle(tiny_data)
+    ray_triples = pq.read_table(pipeline_result["triples"])
+    o, r = _triple_set(oracle), _triple_set(ray_triples)
+    missing = o - r
+    extra = r - o
+    precision = 1 - len(extra) / max(len(r), 1)
+    recall = 1 - len(missing) / max(len(o), 1)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.3f} R={recall:.3f}; missing={list(missing)[:3]} extra={list(extra)[:3]}"
+    )
+    # both sides share the kernel: expect exact equality, not just >=0.95
+    assert o == r
+
+
+def test_per_turn_text_equality(tiny_data, pipeline_result):
+    """Mentions checkpoint must reflect the source turns exactly: every
+    (conv_id, turn_idx) it references exists in the input with the same text
+    ordering (stable turn ordering invariant)."""
+    transcripts = pq.read_table(tiny_data + "/transcripts.parquet",
+                                columns=["conv_id", "turn_idx", "text"])
+    turns = {(c, t): x for c, t, x in zip(
+        transcripts.column("conv_id").to_pylist(),
+        transcripts.column("turn_idx").to_pylist(),
+        transcripts.column("text").to_pylist())}
+    mentions = pq.read_table(pipeline_result["mentions"])
+    for c, t, residual in zip(
+        mentions.column("conv_id").to_pylist(),
+        mentions.column("turn_idx").to_pylist(),
+        mentions.column("residual").to_pylist(),
+    ):
+        assert (c, t) in turns
+        # the mention's residual text must be a derivation of that exact turn
+        assert residual == "" or any(ch in turns[(c, t)] for ch in residual[:3])
+
+
+def test_linking_accuracy_vs_truth(tiny_data, pipeline_result):
+    """Top-1 link recovers the embedded ground-truth address (>=0.9 of
+    linkable mentions; small-district idf degeneracy is expected tail)."""
+    truth = pq.read_table(tiny_data + "/mentions_truth.parquet")
+    tt = {(c, t): a for c, t, a in zip(
+        truth.column("conv_id").to_pylist(),
+        truth.column("turn_idx").to_pylist(),
+        truth.column("addr_id").to_pylist())}
+    links = pq.read_table(pipeline_result["links"])
+    hit = wrong = 0
+    for c, t, linked in zip(
+        links.column("conv_id").to_pylist(),
+        links.column("turn_idx").to_pylist(),
+        links.column("linked_addr").to_pylist(),
+    ):
+        want = tt.get((c, t))
+        if want is None:
+            continue
+        if linked == want:
+            hit += 1
+        else:
+            wrong += 1
+    assert hit / max(hit + wrong, 1) >= 0.9
+
+
+def test_resume_skips_completed_stages(ray_session, tiny_data, pipeline_result):
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+
+    work = pipeline_result["triples"].rsplit("/", 1)[0]
+    # rerun: everything skipped
+    res2 = run_kg_pipeline(tiny_data, work, concurrency=2, salt=1)
+    assert all(m["skipped"] for m in res2["metrics"])
+    # invalidate one mid-pipeline stage: only it and downstream rerun
+    shutil.rmtree(pipeline_result["links"])
+    res3 = run_kg_pipeline(tiny_data, work, concurrency=2, salt=1)
+    by_stage = {m["stage"]: m["skipped"] for m in res3["metrics"]}
+    assert by_stage["doc_vectors"] and by_stage["idf"] and by_stage["mentions"]
+    assert not by_stage["links"] and not by_stage["triples"]
+    # and the re-built output still matches the oracle
+    oracle = run_oracle(tiny_data)
+    assert _triple_set(oracle) == _triple_set(pq.read_table(res3["triples"]))
+
+
+def test_salted_linking_is_invariant(ray_session, tiny_data, tmp_path_factory, pipeline_result):
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+
+    work = str(tmp_path_factory.mktemp("kgwork_salted"))
+    res = run_kg_pipeline(tiny_data, work, concurrency=2, salt=4)
+    a = pq.read_table(res["triples"])
+    b = pq.read_table(pipeline_result["triples"])
+    assert _triple_set(a) == _triple_set(b)
