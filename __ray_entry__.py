@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data address/KG engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001; ``queries()`` exposes
+the operator inventory (SURVEY.md §2 + training-data ops); ``oracle_sql()``
+gives DuckDB equivalents with IDENTICAL column names/rounding.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,173 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from address_semantic_search_ray.pipelines import queries as q
+
+SF001_SYNTH = "/tmp/asr_synth/sf0.01"  # static path for the sf0.01 correctness run
+SF001_WORK = "/tmp/asr_entry_work/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001 synthetic transcripts -> triples Dataset."""
+    return q.kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (sources, groupby-agg, sort/limit, broadcast join)
+        "pricing_summary": q.pricing_summary,
+        "topk_orders": q.topk_orders,
+        "customer_nation_join": q.customer_nation_join,
+        # stream-shaped windows
+        "events_hourly": q.events_hourly,
+        "events_sessionize": q.events_sessionize,
+        # dedup family
+        "dedup_exact": q.dedup_exact,
+        "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
+        "dedup_minhash_lsh": q.dedup_minhash_lsh,
+        "dedup_simhash": q.dedup_simhash,
+        # text analysis
+        "text_token_count": q.text_token_count,
+        "text_quality": q.text_quality,
+        "text_lang_id": q.text_lang_id,
+        "text_fingerprint": q.text_fingerprint,
+        "lang_stats": q.lang_stats,
+        # similarity search
+        "similarity_topk": q.similarity_topk,
+        "similarity_topk_lsh": q.similarity_topk_lsh,
+        "embedding_near_dup": q.embedding_near_dup,
+        # multimodal plumbing
+        "multimodal_image_meta": q.multimodal_image_meta,
+        "multimodal_audio_frames": q.multimodal_audio_frames,
+        # KG-construction flagship
+        "kg_triples": q.kg_triples,
+        "kg_mentions": q.kg_mentions,
+        "kg_idf": q.kg_idf,
+        "kg_turn_stats": q.kg_turn_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+        """,
+        "customer_nation_join": """
+            SELECT n.n_name, count(*) AS n_customers,
+                   round(avg(c.c_acctbal), 4) AS avg_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "events_hourly": """
+            SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions FROM g GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "dedup_wordset_jaccard": """
+            WITH t AS (SELECT doc_id, lang,
+                              list_distinct(string_split(text, ' ')) AS w
+                       FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(len(list_intersect(a.w, b.w))::DOUBLE
+                         / len(list_distinct(list_concat(a.w, b.w))), 6) AS jac
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.w, b.w))::DOUBLE
+                  / len(list_distinct(list_concat(a.w, b.w))) >= 0.9
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]'))::BIGINT AS n_bpeish
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+            SELECT doc_id,
+                   round(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio,
+                   round((length(text) - (len(w) - 1))::DOUBLE / len(w), 6) AS mean_token_len
+            FROM t
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id < 5),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                       FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+            FROM r WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            WITH n AS (SELECT vec_id, label,
+                              list_transform(embedding, x -> x / sqrt(list_sum(
+                                  list_transform(embedding, y -> y * y)))) AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_dot_product(a.e, b.e), 6) AS cos
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) >= 0.35
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   (64 + octet_length(encode(text)) % 577)::BIGINT AS width,
+                   (64 + (octet_length(encode(text)) * 31) % 419)::BIGINT AS height
+            FROM documents
+        """,
+        "kg_idf": f"""
+            WITH dv AS (SELECT district_key, term_keys FROM read_parquet(
+                            '{SF001_WORK}/doc_vectors/*/*.parquet', hive_partitioning=true)),
+                 docs AS (SELECT district_key, unnest(term_keys) AS term_key FROM dv),
+                 counts AS (SELECT district_key, count(*) AS n_docs FROM dv
+                            GROUP BY district_key),
+                 df AS (SELECT district_key, term_key, count(*) AS df FROM docs
+                        GROUP BY district_key, term_key)
+            SELECT d.district_key, d.term_key,
+                   round(CASE WHEN regexp_full_match(d.term_key, '[0-9]+')
+                               OR regexp_full_match(d.term_key, '[A-Za-z]+') THEN 2.0
+                              ELSE greatest(ln(c.n_docs::DOUBLE / (d.df + 1)), 0) END,
+                         6) AS idf
+            FROM df d JOIN counts c USING (district_key)
+        """,
+        "kg_turn_stats": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+            FROM read_parquet('{SF001_SYNTH}/transcripts.parquet')
+            GROUP BY conv_id
+        """,
+        # dedup_minhash_lsh / dedup_simhash / text_lang_id / text_fingerprint /
+        # similarity_topk_lsh / multimodal_audio_frames / kg_triples /
+        # kg_mentions: not SQL-expressible (signature/heuristic/pipeline ops)
+        # -> rows-only driver check; their kernels are pytest-covered.
+    }

@@ -1,0 +1,414 @@
+"""Operator inventory as sf_dir-parameterized callables (driver contract).
+
+Each function takes ``sf_dir`` (e.g. /root/testdata/sf0.01) and returns a
+``ray.data.Dataset`` / pandas DataFrame. Column names (incl. rounding) match
+the DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
+
+No function calls ``ray.init()`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# KG artifacts live under stable roots so the static oracle SQL can read them
+SYNTH_ROOT = "/tmp/asr_synth"
+WORK_ROOT = "/tmp/asr_entry_work"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base[2:]) if base.startswith("sf") else 0.01
+
+
+# -- relational core -------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-flavored grouped aggregate with a computed measure."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(2)
+        df["avg_qty"] = df["avg_qty"].round(4)
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+def topk_orders(sf_dir: str):
+    """Global top-k: sort + limit with a deterministic tie-break."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+
+def customer_nation_join(sf_dir: str):
+    """Broadcast (map-side) join: 25-row nation dim shipped once via ray.put."""
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        batch["n_name"] = batch["c_nationkey"].map(lookup)
+        return batch[["n_name", "c_acctbal"]]
+
+    out = (
+        rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_acctbal"] = df["avg_acctbal"].round(4)
+        df["n_customers"] = df["n_customers"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+# -- events (stream-shaped) ------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window per event_type (groupby on derived window key)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def window_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hour"] = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        return batch[["event_type", "hour", "value"]]
+
+    out = (
+        ds.map_batches(window_key, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user via groupby.map_groups
+    over ts-sorted groups — the Ray Data shape for keyed streaming windows."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": np.asarray([n_sessions], dtype=np.int64)})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# -- dedup -----------------------------------------------------------------
+
+def dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup_first
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.groupby("text").map_groups(exact_dedup_first, batch_format="pandas")
+
+
+def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
+    from ..stages.dedup import wordset_jaccard_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    return ds.groupby("lang").map_groups(
+        lambda g: wordset_jaccard_pairs(g, threshold), batch_format="pandas"
+    )
+
+
+def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
+    """MinHash+LSH near-dup: signature -> band explode -> bucket groupby ->
+    candidate pairs -> exact-Jaccard verify (shingle sets re-derived from a
+    broadcast of the doc texts: the small side at this scale; at corpus scale
+    the verify becomes a re-join on doc_id)."""
+    from ..stages.dedup import band_candidate_pairs, jaccard, minhash_bands_batch
+
+    docs_tbl = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    _docs_pdf = docs_tbl.to_pandas()
+    texts_ref = ray.put(dict(zip(_docs_pdf["doc_id"], _docs_pdf["text"])))
+
+    bands = docs_tbl.map_batches(minhash_bands_batch, batch_format="pandas")
+    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
+        band_candidate_pairs, batch_format="pandas")
+    # dedup candidate pairs across bands
+    uniq = cands.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        jacs = [jaccard(texts[a], texts[b])
+                for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
+        batch = batch.copy()
+        batch["jac"] = np.asarray([round(j, 6) for j in jacs], dtype=np.float64)
+        return batch[batch["jac"] >= verify_threshold]
+
+    return uniq.map_batches(verify, batch_format="pandas")
+
+
+def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    from ..stages.dedup import hamming64, simhash_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    # consumed once per segment below — pin the small signature table
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas").materialize()
+
+    def seg_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    d_out.append(d)
+        return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
+                             "doc_id_b": np.asarray(b_out, dtype=np.int64),
+                             "hamming": np.asarray(d_out, dtype=np.int64)})
+
+    # Hamming<=3 over 64 bits => at least one of 4 16-bit segments equal
+    parts = []
+    for seg in range(4):
+        parts.append(sigs.groupby(f"seg{seg}").map_groups(seg_pairs, batch_format="pandas"))
+    allp = parts[0].union(*parts[1:])
+    return allp.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g[["doc_id_a", "doc_id_b", "hamming"]].head(1), batch_format="pandas")
+
+
+# -- text analysis ---------------------------------------------------------
+
+def text_token_count(sf_dir: str):
+    from ..stages.text import token_count_batch
+
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+        .map_batches(token_count_batch, batch_format="pandas")
+
+
+def text_quality(sf_dir: str):
+    from ..stages.text import quality_batch
+
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+        .map_batches(quality_batch, batch_format="pandas")
+
+
+def text_lang_id(sf_dir: str):
+    from ..stages.text import lang_id_batch
+
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+        .map_batches(lang_id_batch, batch_format="pandas")
+
+
+def text_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprint_batch
+
+    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+        .map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def lang_stats(sf_dir: str):
+    out = (
+        rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_chars"] = df["avg_chars"].round(4)
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+# -- similarity search -----------------------------------------------------
+
+def similarity_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
+    from ..stages.vector import make_topk_final, make_topk_partial, normalize_rows
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qmat = normalize_rows(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "mat": qmat})
+
+    partials = emb.map_batches(make_topk_partial(queries_ref, k), batch_format="pandas")
+    return partials.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
+
+
+def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int = 6):
+    """LSH-bucketed ANN: probe only the query's bucket (bounded scan)."""
+    from ..stages.vector import lsh_bucket_batch_fn, lsh_planes, make_topk_final, normalize_rows
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    planes = lsh_planes(dim, n_bits=n_bits)
+    bucketed = emb.map_batches(lsh_bucket_batch_fn(planes), batch_format="pandas")
+
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qbits = (qmat @ planes.T) > 0
+    qbuckets = np.zeros(len(qmat), dtype=np.int64)
+    for b in range(n_bits):
+        qbuckets |= qbits[:, b].astype(np.int64) << b
+    by_bucket: dict[int, list[int]] = {}
+    qn = normalize_rows(qmat)
+    for i, bkt in enumerate(qbuckets):
+        by_bucket.setdefault(int(bkt), []).append(i)
+    qref = ray.put({"ids": qdf["vec_id"].to_numpy(), "mat": qn, "by_bucket": by_bucket})
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        bkt = int(group["bucket"].iloc[0])
+        idxs = q["by_bucket"].get(bkt)
+        if not idxs:
+            return pd.DataFrame({"query_id": np.asarray([], dtype=np.int64),
+                                 "vec_id": np.asarray([], dtype=np.int64),
+                                 "cos": np.asarray([], dtype=np.float64)})
+        m = normalize_rows(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        vec_ids = group["vec_id"].to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for i in idxs:
+            qid = int(q["ids"][i])
+            scores = q["mat"][i] @ m.T
+            mask = vec_ids != qid
+            take = np.argsort(-scores, kind="stable")
+            for t in take:
+                if mask[t]:
+                    out_q.append(qid)
+                    out_v.append(int(vec_ids[t]))
+                    out_c.append(float(scores[t]))
+                if sum(1 for x in out_q if x == qid) >= k:
+                    break
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                             "vec_id": np.asarray(out_v, dtype=np.int64),
+                             "cos": np.asarray(out_c, dtype=np.float64)})
+
+    probed = bucketed.groupby("bucket").map_groups(probe, batch_format="pandas")
+    return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
+    from ..stages.vector import near_dup_pairs_group
+
+    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    return emb.groupby("label").map_groups(
+        lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
+
+
+# -- multimodal ------------------------------------------------------------
+
+def multimodal_image_meta(sf_dir: str):
+    from ..stages.multimodal import ImageDecodeStub, attach_payload_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    with_payload = ds.map_batches(attach_payload_batch, batch_format="pyarrow", batch_size=256)
+    return with_payload.map_batches(ImageDecodeStub, batch_format="pyarrow",
+                                    batch_size=256, concurrency=2)
+
+
+def multimodal_audio_frames(sf_dir: str):
+    from ..stages.multimodal import AudioFrameSampleStub, attach_payload_batch
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    with_payload = ds.map_batches(attach_payload_batch, batch_format="pyarrow", batch_size=256)
+    frames = with_payload.map_batches(AudioFrameSampleStub, batch_format="pyarrow",
+                                      batch_size=128, concurrency=2)
+    return frames.groupby("doc_id").aggregate(Count(alias_name="n_frames"))
+
+
+# -- KG pipeline -----------------------------------------------------------
+
+def _kg_artifacts(sf_dir: str) -> dict:
+    from ..data.synth import ensure_dataset
+    from .kg import run_kg_pipeline
+
+    sf = _sf_of(sf_dir)
+    data_dir = ensure_dataset(sf, root=SYNTH_ROOT)
+    work = os.path.join(WORK_ROOT, f"sf{sf:g}")
+    return run_kg_pipeline(data_dir, work, concurrency=4, salt=2)
+
+
+def kg_triples(sf_dir: str):
+    return rd.read_parquet(_kg_artifacts(sf_dir)["triples"])
+
+
+def kg_mentions(sf_dir: str):
+    res = _kg_artifacts(sf_dir)
+    return rd.read_parquet(res["mentions"]).drop_columns(["region_chain"])
+
+
+def kg_idf(sf_dir: str):
+    res = _kg_artifacts(sf_dir)
+    ds = rd.read_parquet(res["idf"])
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["idf"] = df["idf"].round(6)
+        return df[["district_key", "term_key", "idf"]]
+
+    return ds.map_batches(round_cols, batch_format="pandas")
+
+
+def kg_turn_stats(sf_dir: str):
+    from ..data.synth import ensure_dataset
+
+    sf = _sf_of(sf_dir)
+    data_dir = ensure_dataset(sf, root=SYNTH_ROOT)
+    ds = rd.read_parquet(os.path.join(data_dir, "transcripts.parquet"),
+                         columns=["conv_id", "ts"])
+
+    def to_us(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize to µs regardless of the pandas datetime unit (ns or us)
+        batch["ts_us"] = batch["ts"].astype("datetime64[us]").astype("int64")
+        return batch[["conv_id", "ts_us"]]
+
+    return (
+        ds.map_batches(to_us, batch_format="pandas")
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_turns"),
+                   Min("ts_us", alias_name="first_ts_us"),
+                   Max("ts_us", alias_name="last_ts_us"))
+        .map_batches(lambda df: df.assign(n_turns=df["n_turns"].astype("int64")),
+                     batch_format="pandas")
+    )

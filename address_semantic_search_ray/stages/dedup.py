@@ -1,0 +1,148 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the part that must survive 100 TB):
+- exact dedup: hash-partition on the content key (``groupby(text)``), keep the
+  min id per group — no driver-side state;
+- n-gram Jaccard: blocked by a cheap key (lang), pairwise only within blocks;
+- MinHash+LSH: signature per doc inside ``map_batches`` -> explode to
+  (band_id, band_hash, doc_id) rows -> ``groupby`` bands -> candidate pairs ->
+  exact-Jaccard verify. The band groupby is the only shuffle, and it moves
+  fixed-width signature rows, not documents;
+- SimHash: 64-bit signature -> 4x16-bit segment bucketing (Hamming<=3 implies
+  at least one equal segment) -> verify within buckets.
+
+All hashes are crc32/blake2-based (stable across processes — never builtin
+``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_MINHASH = 64
+N_BANDS = 8  # 8 rows per band
+_MERSENNE = (1 << 61) - 1
+
+
+def _word_shingles(text: str, k: int = 3) -> set:
+    words = text.split(" ")
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def exact_dedup_first(group: pd.DataFrame) -> pd.DataFrame:
+    """Per content group keep the row with the smallest doc_id (D1 analog —
+    the reference skips re-imports by raw-text hash, AddressPersister.java:95-101,
+    but we key on the full string: no 32-bit collision bug)."""
+    return group.nsmallest(1, "doc_id")
+
+
+# -- MinHash ---------------------------------------------------------------
+
+_A = np.array([int.from_bytes(hashlib.blake2b(b"a%d" % i, digest_size=7).digest(), "big") | 1
+               for i in range(N_MINHASH)], dtype=np.uint64)
+_B = np.array([int.from_bytes(hashlib.blake2b(b"b%d" % i, digest_size=7).digest(), "big")
+               for i in range(N_MINHASH)], dtype=np.uint64)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    shingles = _word_shingles(text)
+    hs = np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
+    # universal hashing: (a*x + b) mod p, vectorized over (n_hash, n_shingle)
+    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc -> N_BANDS rows (band_id, band_hash, doc_id)."""
+    rows_band, rows_hash, rows_doc = [], [], []
+    per_band = N_MINHASH // N_BANDS
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sig = minhash_signature(text)
+        for b in range(N_BANDS):
+            seg = sig[b * per_band:(b + 1) * per_band]
+            rows_band.append(b)
+            rows_hash.append(int.from_bytes(hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big") >> 1)
+            rows_doc.append(doc_id)
+    return pd.DataFrame({"band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc})
+
+
+def band_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """One (band_id, band_hash) bucket -> candidate pairs (a<b)."""
+    ids = sorted(group["doc_id"].tolist())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_id_a": np.asarray(a, dtype=np.int64),
+                         "doc_id_b": np.asarray(b, dtype=np.int64)})
+
+
+def jaccard(text_a: str, text_b: str) -> float:
+    sa, sb = _word_shingles(text_a), _word_shingles(text_b)
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter / union if union else 0.0
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.split(" "):
+        h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sigs = [simhash64(t) for t in batch["text"]]
+    out = {"doc_id": batch["doc_id"], "simhash": np.asarray([s - (1 << 63) for s in sigs], dtype=np.int64)}
+    # 4 x 16-bit segments: Hamming distance <= 3 guarantees one equal segment
+    for seg in range(4):
+        out[f"seg{seg}"] = np.asarray([(s >> (16 * seg)) & 0xFFFF for s in sigs], dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# -- word-set Jaccard (SQL-checkable variant) ------------------------------
+
+def wordset_jaccard_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """All pairs within one block (lang) with word-SET Jaccard >= threshold.
+    Matches the oracle SQL exactly: split(' '), distinct, |∩|/|∪|."""
+    ids = group["doc_id"].to_numpy()
+    sets = [frozenset(t.split(" ")) for t in group["text"]]
+    order = np.argsort(ids)
+    a_out, b_out, j_out = [], [], []
+    for ii in range(len(order)):
+        i = order[ii]
+        si = sets[i]
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            sj = sets[j]
+            inter = len(si & sj)
+            union = len(si) + len(sj) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[j]))
+                j_out.append(round(jac, 6))
+    return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
+                         "doc_id_b": np.asarray(b_out, dtype=np.int64),
+                         "jac": np.asarray(j_out, dtype=np.float64)})

@@ -1,0 +1,105 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- Brute-force cosine top-k: the scale path is a broadcast of the (small)
+  query matrix via ``ray.put`` + one numpy matmul per batch, keeping only a
+  per-batch top-k partial — the final reduce merges tiny partials, never the
+  full score matrix.
+- LSH-bucketed variant: random-hyperplane signatures (stable seed) bucket the
+  corpus; probing only matching buckets bounds the scan at the cost of recall.
+- Embedding near-dup: all pairs above a cosine threshold, blocked by label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def make_topk_partial(queries_ref, k: int):
+    """Per-batch partial: cosine of batch vs broadcast queries, local top-k."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        qids, qmat = q["ids"], q["mat"]  # (m,), (m, d) float64 normalized
+        vec_ids = batch["vec_id"].to_numpy()
+        m = normalize_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        scores = qmat @ m.T  # (m_queries, n_batch)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            row = scores[qi]
+            mask = vec_ids != qid  # exclude self
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            take = idx[np.argsort(-row[idx], kind="stable")[:k]]
+            out_q.extend([qid] * len(take))
+            out_v.extend(vec_ids[take].tolist())
+            out_c.extend(row[take].tolist())
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                             "vec_id": np.asarray(out_v, dtype=np.int64),
+                             "cos": np.asarray(out_c, dtype=np.float64)})
+
+    return partial
+
+
+def make_topk_final(k: int):
+    """Per-query group reduce: merge partials, rank, keep top-k."""
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.asarray(range(1, len(g) + 1), dtype=np.int64)
+        g["cos"] = g["cos"].round(6)
+        return g[["query_id", "vec_id", "cos", "rank"]]
+
+    return final
+
+
+# -- LSH bucketing (scale path) --------------------------------------------
+
+def lsh_planes(dim: int, n_bits: int = 12, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
+def lsh_bucket_batch_fn(planes: np.ndarray):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) > 0  # (n, n_bits)
+        buckets = np.zeros(len(m), dtype=np.int64)
+        for b in range(planes.shape[0]):
+            buckets |= bits[:, b].astype(np.int64) << b
+        out = batch[["vec_id", "embedding"]].copy()
+        out["bucket"] = buckets
+        return out
+
+    return fn
+
+
+def near_dup_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """All pairs (a<b) in one block with cosine >= threshold."""
+    ids = group["vec_id"].to_numpy()
+    m = normalize_rows(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+    s = m @ m.T
+    order = np.argsort(ids)
+    a_out, b_out, c_out = [], [], []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            c = s[i, j]
+            if c >= threshold:
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[j]))
+                c_out.append(round(float(c), 6))
+    return pd.DataFrame({"vec_id_a": np.asarray(a_out, dtype=np.int64),
+                         "vec_id_b": np.asarray(b_out, dtype=np.int64),
+                         "cos": np.asarray(c_out, dtype=np.float64)})
