@@ -207,8 +207,11 @@ def generate_transcripts(addresses: pa.Table, n_turns: int, seed: int = SEED):
 # -- cached materialization --------------------------------------------------
 
 def scale_for_sf(sf: float) -> tuple[int, int]:
-    """(n_addresses, n_turns) for a TPC-H-ish scale factor."""
-    return max(60, int(60_000 * sf)), max(600, int(600_000 * sf))
+    """(n_addresses, n_turns) for a TPC-H-ish scale factor.
+
+    sf0.1 -> 20k historical addresses / 200k transcript turns (the bench
+    scale); sf0.01 -> 2k/20k (correctness gate); sf0.001 -> 200/2k (pytest)."""
+    return max(200, int(200_000 * sf)), max(2_000, int(2_000_000 * sf))
 
 
 def dataset_dir(sf: float, root: str = "/tmp/asr_synth") -> str:
@@ -219,19 +222,21 @@ def ensure_dataset(sf: float, root: str = "/tmp/asr_synth", region_dict_path: st
     """Generate (once) and return the directory holding the three tables."""
     out = dataset_dir(sf, root)
     marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
+    n_addr, n_turns = scale_for_sf(sf)
+    stamp = f"{SEED}:{n_addr}:{n_turns}:v3"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     if region_dict_path is None:
         region_dict_path = os.path.join(os.path.dirname(__file__), "region_dict.parquet")
     rd = RegionDict.from_parquet(region_dict_path)
-    n_addr, n_turns = scale_for_sf(sf)
     addresses = generate_addresses(rd, n_addr)
     transcripts, truth = generate_transcripts(addresses, n_turns)
     os.makedirs(out, exist_ok=True)
-    pq.write_table(addresses, os.path.join(out, "addresses.parquet"))
+    # small row groups so Ray can split the read into parallel blocks
+    pq.write_table(addresses, os.path.join(out, "addresses.parquet"), row_group_size=2048)
     # multiple row groups so Ray can split blocks
     pq.write_table(transcripts, os.path.join(out, "transcripts.parquet"), row_group_size=16384)
     pq.write_table(truth, os.path.join(out, "mentions_truth.parquet"))
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return out

@@ -53,7 +53,8 @@ class Term:
 
 
 class Doc:
-    __slots__ = ("id", "terms", "town", "village", "road", "road_num", "road_num_value", "_map")
+    __slots__ = ("id", "terms", "town", "village", "road", "road_num", "road_num_value",
+                 "_map", "_text_index")
 
     def __init__(self, id_=0):
         self.id = id_
@@ -64,11 +65,24 @@ class Doc:
         self.road_num = None
         self.road_num_value = 0
         self._map = None
+        self._text_index = None
 
     def get_term(self, text: str) -> Term | None:
         if self._map is None:
             self._map = {t.text: t for t in self.terms}
         return self._map.get(text)
+
+    def text_term_index(self) -> dict:
+        """text -> index of the FIRST Text-type term in the full terms list
+        (the linear scan the reference does per query term,
+        SimilarityComputer.java:466-479, precomputed once per doc)."""
+        if self._text_index is None:
+            idx = {}
+            for i, t in enumerate(self.terms):
+                if t.type == TermType.TEXT and t.text not in idx:
+                    idx[t.text] = i
+            self._text_index = idx
+        return self._text_index
 
 
 def term_idf_key(term: Term) -> str:

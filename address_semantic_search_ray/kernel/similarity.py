@@ -102,28 +102,25 @@ def get_boost_value(for_doc: bool, qdoc: Doc, qterm, ddoc: Doc, dterm) -> float:
 
 def compute_doc_similarity(qdoc: Doc, doc: Doc) -> float:
     # SimilarityComputer.java:456-550
-    # 1. text-term coord/density
+    # 1. text-term coord/density — first-matching-index lookup precomputed
+    # per doc (identical to the reference's break-at-first-match linear scan)
     q_text_count = 0
     match_count = 0
     match_start = match_end = -1
-    dterms = doc.terms
+    text_index = doc.text_term_index()
     for qterm in qdoc.terms:
         if qterm.type != TermType.TEXT:
             continue
         q_text_count += 1
-        for i, term in enumerate(dterms):
-            if term.type != TermType.TEXT:
-                continue
-            if term.text == qterm.text:
-                match_count += 1
-                if match_start == -1:
-                    match_start = match_end = i
-                    break
-                if i > match_end:
-                    match_end = i
-                elif i < match_start:
-                    match_start = i
-                break
+        i = text_index.get(qterm.text)
+        if i is not None:
+            match_count += 1
+            if match_start == -1:
+                match_start = match_end = i
+            elif i > match_end:
+                match_end = i
+            elif i < match_start:
+                match_start = i
 
     coord_text = 1.0
     density_text = 1.0
@@ -132,28 +129,40 @@ def compute_doc_similarity(qdoc: Doc, doc: Doc) -> float:
     if q_text_count >= 2 and match_count >= 2:
         density_text = math.sqrt(match_count * 1.0 / (match_end - match_start + 1)) * 0.5 + 0.5
 
-    # 2. asymmetric cosine over query terms
+    # 2. asymmetric cosine over query terms.
+    # Fast paths: Text terms (the bulk) boost to BOOST_M unconditionally
+    # (java:213-214) and analyse() never emits Province/City/District/Street
+    # terms, so t.idf needs no type-override call (Term.java:51-67 is an
+    # identity for Town/Village/Road/RoadNum/Text) — behavior identical.
     sum_qd = sum_qq = sum_dd = 0.0
+    dmap = doc._map
+    if dmap is None:
+        dmap = doc._map = {t.text: t for t in doc.terms}
+    TEXT = TermType.TEXT
     for qterm in qdoc.terms:
-        qboost = get_boost_value(False, qdoc, qterm, doc, None)
-        qtfidf = qterm.get_idf() * qboost
-        dterm = doc.get_term(qterm.text)
-        if dterm is None and qterm.type == TermType.ROAD_NUM:
-            # RoadNum fallback: match the doc's road number when roads agree
-            # (SimilarityComputer.java:513-517)
-            if (
-                doc.road_num is not None
-                and doc.road is not None
-                and qterm.ref is not None
-                and doc.road.text == qterm.ref.text
-            ):
-                dterm = doc.road_num
-        dboost = 0.0 if dterm is None else get_boost_value(True, qdoc, qterm, doc, dterm)
-        is_text_match = dterm is not None and dterm.type == TermType.TEXT
-        coord = coord_text if is_text_match else 1.0
-        density = density_text if is_text_match else 1.0
-        dtfidf = (dterm.get_idf() if dterm is not None else qterm.get_idf()) * dboost * coord * density
-
+        qtype = qterm.type
+        qboost = 1.0 if qtype == TEXT else get_boost_value(False, qdoc, qterm, doc, None)
+        qtfidf = qterm.idf * qboost
+        dterm = dmap.get(qterm.text)
+        if dterm is None:
+            if qtype == TermType.ROAD_NUM:
+                # RoadNum fallback: match the doc's road number when roads
+                # agree (SimilarityComputer.java:513-517)
+                if (
+                    doc.road_num is not None
+                    and doc.road is not None
+                    and qterm.ref is not None
+                    and doc.road.text == qterm.ref.text
+                ):
+                    dterm = doc.road_num
+            if dterm is None:
+                sum_qq += qtfidf * qtfidf
+                continue
+        if dterm.type == TEXT:
+            dtfidf = dterm.idf * coord_text * density_text
+        else:
+            dboost = get_boost_value(True, qdoc, qterm, doc, dterm)
+            dtfidf = dterm.idf * dboost
         sum_qq += qtfidf * qtfidf
         sum_qd += qtfidf * dtfidf
         sum_dd += dtfidf * dtfidf

@@ -22,17 +22,16 @@ from .types import RegionType, TermType
 
 
 class TrieNode:
-    __slots__ = ("key", "items", "children")
+    """Trie node; ``key_len`` is the depth (== length of the matched prefix) —
+    the reference stores the prefix string (TermIndexEntry.java:16-68) but only
+    its length is load-bearing (full-match + position restore)."""
 
-    def __init__(self, key: str = ""):
-        self.key = key
+    __slots__ = ("key_len", "items", "children")
+
+    def __init__(self, key_len: int = 0):
+        self.key_len = key_len
         self.items: list[tuple[str, Region | None]] | None = None  # (term_type, region)
         self.children: dict[str, TrieNode] | None = None
-
-    def add_item(self, term_type: str, region: Region | None):
-        if self.items is None:
-            self.items = []
-        self.items.append((term_type, region))
 
 
 def _convert_region_type(region: Region) -> str:
@@ -79,15 +78,19 @@ class TermIndex:
 
     def _build_index(self, name: str, item: tuple[str, Region | None]):
         node = self.root
+        depth = 0
         for ch in name:
-            if node.children is None:
-                node.children = {}
-            child = node.children.get(ch)
+            depth += 1
+            children = node.children
+            if children is None:
+                children = node.children = {}
+            child = children.get(ch)
             if child is None:
-                child = TrieNode(node.key + ch)
-                node.children[ch] = child
+                child = children[ch] = TrieNode(depth)
             node = child
-        node.add_item(*item)
+        if node.items is None:
+            node.items = []
+        node.items.append(item)
 
     def _index_regions(self, regions: list[Region]):
         # TermIndexBuilder.java:33-74

@@ -32,12 +32,12 @@ def _is_full_match(entry, region) -> bool:
     # RegionInterpreterVisitor.java:391-399
     if region is None:
         return False
-    if len(entry.key) == len(region.name):
+    if entry.key_len == len(region.name):
         return True
     if (
         region.type == RegionType.STREET
         and region.name.endswith("街道")
-        and len(region.name) == len(entry.key) + 1
+        and len(region.name) == entry.key_len + 1
     ):
         # xx街道 matched via alias xx镇/xx乡 counts as a full match
         return True
@@ -83,7 +83,7 @@ class RegionVisitor:
         self._check_deep_most()
 
         term_type, region = self.stack.pop()
-        self.current_pos = pos - len(entry.key)
+        self.current_pos = pos - entry.key_len
         if _is_full_match(entry, region):
             # NOTE: the reference *increments* here too (:149) — kept for parity.
             self.full_match_count += 1

@@ -28,9 +28,10 @@ import ray.data as rd
 
 from ..stages.idf import build_idf
 from ..stages.interpret import CorpusInterpretStage, MentionStage, put_region_table
-from ..stages.link import make_link_group_fn
+from ..stages.link import LinkerActor
 from ..stages.triples import (
-    canonicalize_conv_group, emit_turn_triples, explode_part_of_edges, part_of_group_first,
+    add_conv_bucket, canonicalize_conv_group, emit_turn_triples,
+    explode_part_of_edges, part_of_bucket_dedup,
 )
 from ..state.checkpoint import StageRunner, fingerprint_paths
 from .oracle import default_region_dict_path
@@ -44,7 +45,8 @@ def run_kg_pipeline(
     top_n: int = 1,
     concurrency: int = 4,
     batch_size: int = 2048,
-    salt: int = 1,
+    link_batch_size: int = 256,
+    salt: int = 1,  # kept for API compat; skew is handled by link batch slicing
     resume: bool = True,
 ) -> dict:
     """Run the full pipeline; returns {"triples": path, "metrics": [...]}."""
@@ -67,15 +69,22 @@ def run_kg_pipeline(
     fp_corpus = fingerprint_paths(addresses_path, region_dict_path, extra=params)
 
     def write_corpus(tmp):
+        # parallelism = block count: split the read into enough blocks that
+        # every actor in the pool has work (batch_size only sets the UDF call
+        # granularity WITHIN a task)
+        corpus_conc = max(2, concurrency // 3)  # corpus is the small side;
+        # fewer actors = less replicated trie-build CPU, still enough slots
         ds = rd.read_parquet(addresses_path, columns=["addr_id", "text"])
+        ds = ds.repartition(corpus_conc * 4)
         ds = ds.map_batches(
             CorpusInterpretStage,
             fn_constructor_args=(get_region_ref(),),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
+            concurrency=corpus_conc,
         )
-        ds.write_parquet(tmp, partition_cols=["district_key"])
+        # sort by bucket so each hive dir gets ~1 file instead of 1 per block
+        ds.sort("bucket").write_parquet(tmp, partition_cols=["bucket"])
 
     doc_dir = runner.run("doc_vectors", fp_corpus, write_corpus)
 
@@ -83,9 +92,9 @@ def run_kg_pipeline(
     fp_idf = fingerprint_paths(doc_dir, extra=params)
 
     def write_idf(tmp):
-        corpus_ds = rd.read_parquet(doc_dir)
+        corpus_ds = rd.read_parquet(doc_dir, columns=["district_key", "term_keys"])
         idf_ds = build_idf(corpus_ds)
-        idf_ds.write_parquet(tmp, partition_cols=["district_key"])
+        idf_ds.sort("bucket").write_parquet(tmp, partition_cols=["bucket"])
 
     idf_dir = runner.run("idf", fp_idf, write_idf)
 
@@ -94,6 +103,7 @@ def run_kg_pipeline(
 
     def write_mentions(tmp):
         ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
+        ds = ds.repartition(concurrency * 4)
         ds = ds.map_batches(
             MentionStage,
             fn_constructor_args=(get_region_ref(),),
@@ -109,28 +119,22 @@ def run_kg_pipeline(
     fp_links = fingerprint_paths(mentions_dir, doc_dir, idf_dir, extra=params)
 
     def write_links(tmp):
-        ds = rd.read_parquet(mentions_dir)
-        link_fn = make_link_group_fn(doc_dir, idf_dir, top_n=top_n)
-        if salt > 1:
-            # split hot districts across `salt` group tasks; output is
-            # salt-invariant (each task re-reads the small corpus side).
-            # crc32 (not builtin hash) so the key is stable across processes.
-            import zlib
-
-            import pyarrow as pa
-
-            def add_salt(batch: pa.Table) -> pa.Table:
-                salts = [zlib.crc32(c.encode()) % salt
-                         for c in batch.column("conv_id").to_pylist()]
-                return batch.append_column("salt", pa.array(salts, pa.int32()))
-
-            ds = ds.map_batches(add_salt, batch_format="pyarrow")
-            grouped = ds.groupby(["district_key", "salt"])
-        else:
-            grouped = ds.groupby("district_key")
-        out = grouped.map_groups(link_fn, batch_format="pyarrow")
-        if salt > 1:
-            out = out.drop_columns(["salt"]) if "salt" in out.schema().names else out
+        # sort (the one shuffle) clusters districts so the actor-pool linker's
+        # bucket LRU hits. Small batches are the skew lever: a hot district
+        # (one key can be >40% of all mention x doc pair-work) is sliced into
+        # many bundles that the actor pool spreads — same effect as salting,
+        # without a second shuffle, because the corpus side is read per bucket.
+        ds = rd.read_parquet(mentions_dir).sort("district_key")
+        # order-preserving block split: slices the hot district across many
+        # tasks so the pool load-balances (a task is the scheduling unit)
+        ds = ds.repartition(concurrency * 12)
+        out = ds.map_batches(
+            LinkerActor,
+            fn_constructor_args=(doc_dir, idf_dir, top_n),
+            batch_format="pyarrow",
+            batch_size=link_batch_size,
+            concurrency=concurrency,
+        )
         out.write_parquet(tmp)
 
     links_dir = runner.run("links", fp_links, write_links)
@@ -142,14 +146,15 @@ def run_kg_pipeline(
         links_ds = rd.read_parquet(links_dir)
         conv_triples = (
             links_ds.map_batches(emit_turn_triples, batch_format="pyarrow")
-            .groupby("conv_id")
+            .map_batches(add_conv_bucket, batch_format="pyarrow")
+            .groupby("conv_bucket")
             .map_groups(canonicalize_conv_group, batch_format="pyarrow")
         )
         part_of = (
             rd.read_parquet(mentions_dir, columns=["region_chain"])
             .map_batches(explode_part_of_edges, batch_format="pyarrow")
-            .groupby(["subj", "obj"])
-            .map_groups(part_of_group_first, batch_format="pyarrow")
+            .groupby("edge_bucket")
+            .map_groups(part_of_bucket_dedup, batch_format="pyarrow")
         )
         conv_triples.union(part_of).write_parquet(tmp)
 

@@ -53,14 +53,17 @@ def build_idf(corpus_ds, doc_counts_out: dict | None = None):
     hash aggregate. Returns the idf dataset; if ``doc_counts_out`` is given it
     is filled with {district_key: n_docs} (driver-side, tiny).
     """
+    import numpy as np
+    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
     partials = corpus_ds.map_batches(partial_df_counts, batch_format="pyarrow")
-    df = partials.groupby(["district_key", "term_key"]).aggregate(Sum("df", alias_name="df"))
-
-    # split out the doc-count rows (term_key == "")
-    import pyarrow.compute as pc
+    # ONE shuffle; the aggregated (district, term) table is orders of magnitude
+    # smaller than the corpus — pin it so doc-count extraction and finalize
+    # don't re-execute the aggregation
+    df = partials.groupby(["district_key", "term_key"]) \
+        .aggregate(Sum("df", alias_name="df")).materialize()
 
     def split_docs(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("term_key"), ""))
@@ -72,20 +75,27 @@ def build_idf(corpus_ds, doc_counts_out: dict | None = None):
     counts_ref = ray.put(doc_counts)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        from ..kernel.similarity import compute_idf
-
+        # vectorized idf = ln(n_docs/(df+1)) clamped, numeric/ASCII keys -> 2
         batch = batch.filter(pc.not_equal(batch.column("term_key"), ""))
-        dists = batch.column("district_key").to_pylist()
-        keys = batch.column("term_key").to_pylist()
-        dfs = batch.column("df").to_pylist()
         counts = ray.get(counts_ref)
-        idfs = []
-        for dist, key, dfv in zip(dists, keys, dfs):
-            idfs.append(compute_idf(counts.get(dist, 0), {key: dfv})[key])
+        dists = batch.column("district_key").to_pylist()
+        keys = batch.column("term_key")
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_docs = np.array([counts.get(d, 0) for d in dists], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idf = np.log(n_docs / (dfs + 1.0))
+        idf = np.maximum(idf, 0.0)
+        forced = pc.match_substring_regex(keys, r"^([0-9]+|[A-Za-z]+)$").to_numpy(
+            zero_copy_only=False)
+        idf[forced] = 2.0
+        from .link import DEFAULT_N_BUCKETS, bucket_of
+
+        buckets = [bucket_of(d, DEFAULT_N_BUCKETS) for d in dists]
         return pa.table({
-            "district_key": pa.array(dists, pa.string()),
-            "term_key": pa.array(keys, pa.string()),
-            "idf": pa.array(idfs, pa.float64()),
+            "bucket": pa.array(buckets, pa.int32()),
+            "district_key": batch.column("district_key"),
+            "term_key": keys,
+            "idf": pa.array(idf, pa.float64()),
         })
 
     return df.map_batches(finalize, batch_format="pyarrow")

@@ -54,11 +54,13 @@ class CorpusInterpretStage(_RegionStateMixin):
     load), plus term_keys (list<string>) for the distributed IDF groupby (A1).
     """
 
-    def __init__(self, region_ref):
+    def __init__(self, region_ref, n_buckets: int = 64):
         self._init_interpreter(region_ref)
+        self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernel.document import analyse, term_idf_key
+        from .link import bucket_of
 
         it = self.interpreter
         out = {k: [] for k in ("addr_id", "district_key", "town", "village",
@@ -78,7 +80,9 @@ class CorpusInterpretStage(_RegionStateMixin):
             out["road_num"].append(a.road_num)
             out["residual"].append(a.text)
             out["term_keys"].append([term_idf_key(t) for t in doc.terms])
+        buckets = [bucket_of(k, self.n_buckets) for k in out["district_key"]]
         return pa.table({
+            "bucket": pa.array(buckets, pa.int32()),
             "addr_id": pa.array(out["addr_id"], pa.int64()),
             "district_key": pa.array(out["district_key"], pa.string()),
             "town": pa.array(out["town"], pa.string()),

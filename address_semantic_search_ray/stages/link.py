@@ -1,26 +1,36 @@
 """Entity-linking stage: score mentions against their district's doc vectors.
 
-Co-partitioned by ``district_key`` via ``groupby().map_groups`` — the same
-sharding the reference uses for its ``.vt`` files (one per district,
-``SimilarityComputer.java:619-631``). Each group task reads ONLY its
-district's hive partitions of the doc-vector and idf checkpoints (partition
-pruning at the read), rebuilds the Doc objects, and runs the §2.9 kernel.
+Layout: doc-vector and idf checkpoints are hive-partitioned by
+``bucket = crc32(district_key) % n_buckets`` (not by raw district — 3k+ tiny
+directories cost more in file-system and read-task overhead than they save;
+a bucket is the pruning unit, a district the lookup unit inside it).
 
-Skew: a ``salt`` column (hash(conv_id) % S) can split a hot district across S
-group tasks; the corpus side is re-read per salted task (doc vectors are the
-small side of this join) and output is salt-invariant.
+Execution: mentions are SORTED by district_key (the only shuffle) and scored
+by an actor pool; each actor keeps an LRU of loaded buckets, so consecutive
+batches — district-clustered after the sort — hit the cache. Worst-case
+bucket loads = actors x buckets, vs. groups x 2 parquet opens for the naive
+per-district ``map_groups`` (measured 3-5x slower at sf0.1).
+
+Skew: a hot district spans many batches but loads its bucket once per actor;
+batch size bounds per-task memory regardless of key skew. This mirrors the
+reference's per-district ``.vt`` cache with ``cacheVectorsInMemory``
+(SimilarityComputer.java:83, 558-617) as a bounded per-actor cache.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import zlib
+from collections import OrderedDict
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..kernel.document import doc_from_fields, term_idf_key
 from ..kernel.similarity import find_similar
+
+DEFAULT_N_BUCKETS = 64
 
 LINK_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -34,21 +44,35 @@ LINK_SCHEMA = pa.schema([
 ])
 
 
-def load_district_index(doc_dir: str, idf_dir: str, key: str):
-    """Read one district's doc vectors + idf from hive-partitioned checkpoints."""
-    part = f"district_key={key}"
-    doc_files = glob.glob(os.path.join(doc_dir, part, "*.parquet"))
-    if not doc_files:
-        return [], {}
-    docs_tbl = pa.concat_tables([pq.read_table(f) for f in doc_files])
-    idf_files = glob.glob(os.path.join(idf_dir, part, "*.parquet"))
-    idf = {}
-    for f in idf_files:
-        t = pq.read_table(f, columns=["term_key", "idf"])
-        idf.update(zip(t.column("term_key").to_pylist(), t.column("idf").to_pylist()))
-    docs = []
-    for addr_id, town, village, road, road_num, residual in zip(
+def bucket_of(district_key: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
+    return zlib.crc32(district_key.encode()) % n_buckets
+
+
+def _read_dir(root: str, bucket: int, columns=None) -> pa.Table | None:
+    files = glob.glob(os.path.join(root, f"bucket={bucket}", "*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+
+
+def load_bucket_index(doc_dir: str, idf_dir: str, bucket: int) -> dict:
+    """bucket -> {district_key: (docs, idf_map)} with idf stamped on docs."""
+    docs_tbl = _read_dir(doc_dir, bucket,
+                         columns=["addr_id", "district_key", "town", "village",
+                                  "road", "road_num", "residual"])
+    out: dict[str, tuple[list, dict]] = {}
+    if docs_tbl is None:
+        return out
+    idf_tbl = _read_dir(idf_dir, bucket, columns=["district_key", "term_key", "idf"])
+    idf_by_district: dict[str, dict] = {}
+    if idf_tbl is not None:
+        for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
+                                  idf_tbl.column("term_key").to_pylist(),
+                                  idf_tbl.column("idf").to_pylist()):
+            idf_by_district.setdefault(dist, {})[key] = idf
+    for addr_id, dist, town, village, road, road_num, residual in zip(
         docs_tbl.column("addr_id").to_pylist(),
+        docs_tbl.column("district_key").to_pylist(),
         docs_tbl.column("town").to_pylist(),
         docs_tbl.column("village").to_pylist(),
         docs_tbl.column("road").to_pylist(),
@@ -56,37 +80,70 @@ def load_district_index(doc_dir: str, idf_dir: str, key: str):
         docs_tbl.column("residual").to_pylist(),
     ):
         d = doc_from_fields(addr_id, town, village, road, road_num, residual)
+        idf = idf_by_district.get(dist, {})
         for t in d.terms:
             t.idf = idf.get(term_idf_key(t), 0.0)
-        docs.append(d)
-    return docs, idf
+        out.setdefault(dist, ([], idf))[0].append(d)
+    return out
 
 
-def make_link_group_fn(doc_dir: str, idf_dir: str, top_n: int = 1):
-    """Returns the per-group UDF for groupby("district_key"[, "salt"]).map_groups."""
+class LinkerActor:
+    """Actor-pool scorer with an LRU of loaded buckets."""
 
-    def link_group(group: pa.Table) -> pa.Table:
-        key = group.column("district_key")[0].as_py()
-        docs, idf = load_district_index(doc_dir, idf_dir, key)
+    def __init__(self, doc_dir: str, idf_dir: str, top_n: int = 1,
+                 n_buckets: int = DEFAULT_N_BUCKETS, cache_buckets: int = 16):
+        self.doc_dir = doc_dir
+        self.idf_dir = idf_dir
+        self.top_n = top_n
+        self.n_buckets = n_buckets
+        self.cache_buckets = cache_buckets
+        self._cache: OrderedDict[int, dict] = OrderedDict()
+        # result memo: repeated query shapes (same fields, same district) are
+        # common in conversational data; deterministic, bounded
+        self._results: dict[tuple, tuple] = {}
+
+    def _bucket_index(self, bucket: int) -> dict:
+        cached = self._cache.get(bucket)
+        if cached is not None:
+            self._cache.move_to_end(bucket)
+            return cached
+        idx = load_bucket_index(self.doc_dir, self.idf_dir, bucket)
+        self._cache[bucket] = idx
+        if len(self._cache) > self.cache_buckets:
+            self._cache.popitem(last=False)
+        return idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in LINK_SCHEMA.names}
-        for conv_id, turn_idx, mention_idx, role, town, village, road, road_num, residual, least in zip(
-            group.column("conv_id").to_pylist(),
-            group.column("turn_idx").to_pylist(),
-            group.column("mention_idx").to_pylist(),
-            group.column("role").to_pylist(),
-            group.column("town").to_pylist(),
-            group.column("village").to_pylist(),
-            group.column("road").to_pylist(),
-            group.column("road_num").to_pylist(),
-            group.column("residual").to_pylist(),
-            group.column("least_region_id").to_pylist(),
+        for conv_id, turn_idx, mention_idx, role, key, town, village, road, road_num, residual, least in zip(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("mention_idx").to_pylist(),
+            batch.column("role").to_pylist(),
+            batch.column("district_key").to_pylist(),
+            batch.column("town").to_pylist(),
+            batch.column("village").to_pylist(),
+            batch.column("road").to_pylist(),
+            batch.column("road_num").to_pylist(),
+            batch.column("residual").to_pylist(),
+            batch.column("least_region_id").to_pylist(),
         ):
-            if docs:
-                q = doc_from_fields(-1, town, village, road, road_num, residual, idf_lookup=idf)
-                top = find_similar(q, docs, top_n=top_n)
+            memo_key = (key, town, village, road, road_num, residual)
+            hit = self._results.get(memo_key)
+            if hit is not None:
+                linked, score = hit
             else:
-                top = []
-            linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
+                entry = self._bucket_index(bucket_of(key, self.n_buckets)).get(key)
+                if entry is not None:
+                    docs, idf = entry
+                    q = doc_from_fields(-1, town, village, road, road_num, residual, idf_lookup=idf)
+                    top = find_similar(q, docs, top_n=self.top_n)
+                else:
+                    top = []
+                linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
+                if len(self._results) > 500_000:
+                    self._results.clear()
+                self._results[memo_key] = (linked, score)
             out["conv_id"].append(conv_id)
             out["turn_idx"].append(turn_idx)
             out["mention_idx"].append(mention_idx)
@@ -98,5 +155,3 @@ def make_link_group_fn(doc_dir: str, idf_dir: str, top_n: int = 1):
         return pa.Table.from_arrays(
             [pa.array(out[f.name], f.type) for f in LINK_SCHEMA], schema=LINK_SCHEMA
         )
-
-    return link_group

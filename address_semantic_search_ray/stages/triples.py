@@ -69,60 +69,66 @@ def emit_turn_triples(batch: pa.Table) -> pa.Table:
 
 
 def canonicalize_conv_group(group: pa.Table) -> pa.Table:
-    """Stable turn ordering + first-wins dedup on (subj, pred, obj)."""
-    rows = sorted(
-        zip(
-            group.column("subj").to_pylist(),
-            group.column("pred").to_pylist(),
-            group.column("obj").to_pylist(),
-            group.column("conv_id").to_pylist(),
-            group.column("turn_idx").to_pylist(),
-            group.column("mention_idx").to_pylist(),
-            group.column("district_key").to_pylist(),
-            group.column("score").to_pylist(),
-        ),
-        key=lambda r: (r[4], r[5], _PRED_ORDER.get(r[1], 9)),
-    )
-    seen = set()
-    out = []
-    for r in rows:
-        k = (r[0], r[1], r[2])
-        if k in seen:
-            continue
-        seen.add(k)
-        out.append((r[0], r[1], r[2], r[3], r[4], r[6], r[7]))
-    return pa.Table.from_arrays(
-        [pa.array([r[i] for r in out], TRIPLE_SCHEMA.field(i).type) for i in range(7)],
-        schema=TRIPLE_SCHEMA,
-    )
+    """Stable turn ordering + first-wins dedup on (subj, pred, obj), per conv.
+
+    The group is a conv BUCKET (crc32(conv_id) % B), not a single conv —
+    thousands of per-conv group calls cost more in per-group overhead than
+    the work itself; inside the bucket the dedup is vectorized pandas with
+    conv_id leading the sort key, so per-conv semantics are unchanged."""
+    import pandas as pd  # noqa: F401
+
+    df = group.to_pandas()
+    df["_pred_order"] = df["pred"].map(_PRED_ORDER).fillna(9).astype("int64")
+    df = df.sort_values(["conv_id", "turn_idx", "mention_idx", "_pred_order"],
+                        kind="stable")
+    df = df.drop_duplicates(["conv_id", "subj", "pred", "obj"], keep="first")
+    df = df[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
+    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
-def explode_part_of_edges(batch: pa.Table) -> pa.Table:
-    """mention rows -> (subj, obj) hierarchy edges from region_chain (leaf->root)."""
-    subjs, objs = [], []
+def add_conv_bucket(batch: pa.Table, n_buckets: int = 256) -> pa.Table:
+    import zlib
+
+    buckets = [zlib.crc32(c.encode()) % n_buckets
+               for c in batch.column("conv_id").to_pylist()]
+    return batch.append_column("conv_bucket", pa.array(buckets, pa.int32()))
+
+
+def explode_part_of_edges(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """mention rows -> (subj, obj) hierarchy edges from region_chain, with a
+    pre-dedup INSIDE the batch (edges repeat massively) + an edge bucket so
+    the global distinct is a small grouped dedup, not one group per edge."""
+    import zlib
+
+    edges = set()
     for chain in batch.column("region_chain").to_pylist():
         for child, parent in zip(chain, chain[1:]):
-            subjs.append(f"region:{child}")
-            objs.append(f"region:{parent}")
+            edges.add((f"region:{child}", f"region:{parent}"))
+    subjs, objs, buckets = [], [], []
+    for s, o in edges:
+        subjs.append(s)
+        objs.append(o)
+        buckets.append(zlib.crc32((s + o).encode()) % n_buckets)
     return pa.table({
         "subj": pa.array(subjs, pa.string()),
         "obj": pa.array(objs, pa.string()),
+        "edge_bucket": pa.array(buckets, pa.int32()),
     })
 
 
-def part_of_group_first(group: pa.Table) -> pa.Table:
-    """Dedup one (subj, obj) group into a single part_of triple row."""
-    subj = group.column("subj")[0].as_py()
-    obj = group.column("obj")[0].as_py()
+def part_of_bucket_dedup(group: pa.Table) -> pa.Table:
+    """Distinct (subj, obj) within one edge bucket -> part_of triple rows."""
+    df = group.to_pandas().drop_duplicates(["subj", "obj"]).sort_values(["subj", "obj"])
+    n = len(df)
     return pa.Table.from_arrays(
         [
-            pa.array([subj], pa.string()),
-            pa.array(["part_of"], pa.string()),
-            pa.array([obj], pa.string()),
-            pa.array([""], pa.string()),
-            pa.array([-1], pa.int32()),
-            pa.array([""], pa.string()),
-            pa.array([1.0], pa.float64()),
+            pa.array(df["subj"].tolist(), pa.string()),
+            pa.array(["part_of"] * n, pa.string()),
+            pa.array(df["obj"].tolist(), pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array([-1] * n, pa.int32()),
+            pa.array([""] * n, pa.string()),
+            pa.array([1.0] * n, pa.float64()),
         ],
         schema=TRIPLE_SCHEMA,
     )

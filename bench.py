@@ -1,0 +1,138 @@
+"""Benchmark harness: headline KG pipeline + per-operator timings.
+
+- ``python bench.py`` — run at $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  with ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``; prints ONE JSON line
+  ``{"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+  "sf": ..., "num_cpus": N, "turns_per_sec": ...}``.
+- ``python bench.py --scaling`` — runs the headline pipeline twice in fresh
+  processes (num_cpus=8 then 32) on the same pre-generated input and reports
+  both throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# operators timed alongside the headline pipeline (each returns a Dataset)
+BENCH_QUERIES = (
+    "pricing_summary", "topk_orders", "customer_nation_join", "events_hourly",
+    "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "text_token_count", "text_quality",
+    "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
+    "embedding_near_dup", "multimodal_image_meta",
+)
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    os.chdir(REPO)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from address_semantic_search_ray.data.synth import ensure_dataset, scale_for_sf
+    from address_semantic_search_ray.pipelines import queries as q
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+
+    sf = float(os.path.basename(SF_DIR.rstrip("/"))[2:]) if "sf" in os.path.basename(SF_DIR.rstrip("/")) else 0.1
+    data_dir = ensure_dataset(sf, root="/tmp/asr_synth")
+    _, n_turns = scale_for_sf(sf)
+
+    # warm the page cache with one untimed read
+    import pyarrow.parquet as pq
+
+    pq.read_table(os.path.join(data_dir, "transcripts.parquet"))
+
+    # headline: full KG pipeline, cold (no resume), fresh work dir
+    work = f"/tmp/asr_bench_work/sf{sf:g}_cpu{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    conc = max(2, min(NUM_CPUS - 2, 28))
+    t0 = time.time()
+    run_kg_pipeline(data_dir, work, concurrency=conc, batch_size=1024, salt=2, resume=False)
+    kg_sec = time.time() - t0
+
+    timings = {"kg_pipeline": round(kg_sec, 3)}
+    for name in BENCH_QUERIES:
+        fn = getattr(q, name)
+        t0 = time.time()
+        _consume(fn(SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / kg_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-generate the dataset so both runs measure compute, not generation
+    sf = float(os.path.basename(SF_DIR.rstrip("/"))[2:]) if "sf" in os.path.basename(SF_DIR.rstrip("/")) else 0.1
+    sys.path.insert(0, REPO)
+    from address_semantic_search_ray.data.synth import ensure_dataset
+
+    ensure_dataset(sf, root="/tmp/asr_synth")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=REPO).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": lo["turns_per_sec"],
+        "turns_per_sec_32": hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
