@@ -214,15 +214,21 @@ def scale_for_sf(sf: float) -> tuple[int, int]:
     return max(200, int(200_000 * sf)), max(2_000, int(2_000_000 * sf))
 
 
-def dataset_dir(sf: float, root: str = "/tmp/asr_synth") -> str:
-    return os.path.join(root, f"sf{sf:g}")
+def dataset_dir(sf: float, root: str = "/tmp/asr_synth", multiplier: float = 1.0) -> str:
+    suffix = "" if multiplier == 1.0 else f"x{multiplier:g}"
+    return os.path.join(root, f"sf{sf:g}{suffix}")
 
 
-def ensure_dataset(sf: float, root: str = "/tmp/asr_synth", region_dict_path: str | None = None) -> str:
-    """Generate (once) and return the directory holding the three tables."""
-    out = dataset_dir(sf, root)
+def ensure_dataset(sf: float, root: str = "/tmp/asr_synth",
+                   region_dict_path: str | None = None, multiplier: float = 1.0) -> str:
+    """Generate (once) and return the directory holding the three tables.
+
+    ``multiplier`` scales the TURN count only (bench uses 10x so parallel
+    work dominates fixed costs; the address corpus stays the small side)."""
+    out = dataset_dir(sf, root, multiplier)
     marker = os.path.join(out, "_SUCCESS")
     n_addr, n_turns = scale_for_sf(sf)
+    n_turns = int(n_turns * multiplier)
     stamp = f"{SEED}:{n_addr}:{n_turns}:v3"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out

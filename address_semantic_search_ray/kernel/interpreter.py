@@ -304,7 +304,7 @@ class Interpreter:
         # anti-join against the region trie: already a known region -> don't add
         items = self.trie.full_match(town)
         if items:
-            for term_type, region in items:
+            for term_type, region, _is_full in items:
                 if term_type not in (TermType.TOWN, TermType.STREET, TermType.VILLAGE):
                     continue
                 if region is not None and region.parent_id == district.id:

@@ -36,12 +36,12 @@ def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | 
     if visitor is None:
         visitor = interpreter.visitor
     trie = interpreter.trie
-    root_children = trie.root.children or {}
+    has_prefix2 = trie.has_prefix2
     mentions: list[Mention] = []
     n = len(text)
     i = 0
     while i < n - 2:
-        if text[i] not in root_children:
+        if not has_prefix2(text, i):
             i += 1
             continue
         visitor.reset()

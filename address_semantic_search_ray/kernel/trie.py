@@ -11,27 +11,23 @@ Reference semantics:
   ``fullMatch``: ``TermIndexBuilder.java:107-144``;
 - visitor contract: ``index/TermIndexVisitor.java:48-76``.
 
-Built once per interpreter actor (in ``__init__``) from the broadcast region
-dictionary; traversal is pure CPU inside the batch UDF.
+Storage is FLAT (one int-keyed children dict + arrays), not a node-object
+graph: one trie instance lives in every interpreter actor, and ~200k node
+objects each holding a child dict both thrash the shared LLC under a 28-actor
+pool and slow every GC pass. Node ids index ``key_len``; items live in a
+side dict for the ~130k terminal nodes. A child edge key packs
+``(node_id << 21) | ord(char)`` into one small int (no tuple allocation per
+probe).
 """
 
 from __future__ import annotations
 
+from array import array
+
 from .regions import Region, RegionDict
 from .types import RegionType, TermType
 
-
-class TrieNode:
-    """Trie node; ``key_len`` is the depth (== length of the matched prefix) —
-    the reference stores the prefix string (TermIndexEntry.java:16-68) but only
-    its length is load-bearing (full-match + position restore)."""
-
-    __slots__ = ("key_len", "items", "children")
-
-    def __init__(self, key_len: int = 0):
-        self.key_len = key_len
-        self.items: list[tuple[str, Region | None]] | None = None  # (term_type, region)
-        self.children: dict[str, TrieNode] | None = None
+_CH_BITS = 21  # ord(char) < 0x110000 fits in 21 bits
 
 
 def _convert_region_type(region: Region) -> str:
@@ -65,32 +61,52 @@ DEFAULT_IGNORE_LIST = (
 class TermIndex:
     """Character trie over every region name + alias (+ auto-aliases + ignore list)."""
 
-    __slots__ = ("root",)
+    __slots__ = ("children", "key_len", "items", "_n_nodes", "first_chars")
 
     def __init__(self, region_dict: RegionDict, ignore_list=DEFAULT_IGNORE_LIST):
-        self.root = TrieNode()
+        self.children: dict[int, int] = {}  # (node<<21)|ord(ch) -> child node id
+        self.key_len = array("i", [0])  # node id -> depth (root = 0)
+        self.items: dict[int, list] = {}  # node id -> [(term_type, region), ...]
+        self._n_nodes = 1
         if region_dict.root is not None and region_dict.root.children:
             self._index_regions(region_dict.root.children)
         for phrase in ignore_list or ():
             self._build_index(phrase, (TermType.IGNORE, None))
+        # first-char filter for mention scanning (root's child edges)
+        self.first_chars = frozenset(
+            chr(k & ((1 << _CH_BITS) - 1)) for k in self.children if (k >> _CH_BITS) == 0
+        )
 
     # -- construction ------------------------------------------------------
 
-    def _build_index(self, name: str, item: tuple[str, Region | None]):
-        node = self.root
+    def _build_index(self, name: str, item):
+        children = self.children
+        key_len = self.key_len
+        node = 0
         depth = 0
         for ch in name:
             depth += 1
-            children = node.children
-            if children is None:
-                children = node.children = {}
-            child = children.get(ch)
+            k = (node << _CH_BITS) | ord(ch)
+            child = children.get(k)
             if child is None:
-                child = children[ch] = TrieNode(depth)
+                child = self._n_nodes
+                self._n_nodes += 1
+                children[k] = child
+                key_len.append(depth)
             node = child
-        if node.items is None:
-            node.items = []
-        node.items.append(item)
+        # full-match-ness is a build-time constant of (indexed name, region)
+        # (RegionInterpreterVisitor.isFullMatch, java:391-399): exact length,
+        # or an xx街道 region matched via its 2-char-shorter alias
+        term_type, region = item
+        if region is None:
+            is_full = False
+        else:
+            is_full = len(name) == len(region.name) or (
+                region.type == RegionType.STREET
+                and region.name.endswith("街道")
+                and len(region.name) == len(name) + 1
+            )
+        self.items.setdefault(node, []).append((term_type, region, is_full))
 
     def _index_regions(self, regions: list[Region]):
         # TermIndexBuilder.java:33-74
@@ -127,33 +143,44 @@ class TermIndex:
         if not text:
             return
         visitor.start_round()
-        self._deep_first_round(text, pos, self.root.children, visitor)
+        self._deep_first_round(text, pos, 0, visitor)
         visitor.end_round()
 
-    def _deep_first_round(self, text: str, pos: int, children, visitor) -> None:
-        if children is None or pos >= len(text):
-            return
-        entry = children.get(text[pos])
+    def _deep_first_round(self, text: str, pos: int, node: int, visitor) -> None:
+        # node is the PARENT; entry = child at text[pos]
+        entry = self.children.get((node << _CH_BITS) | ord(text[pos]))
         if entry is None:
             return
-        if entry.children is not None and pos + 1 <= len(text) - 1:
-            self._deep_first_round(text, pos + 1, entry.children, visitor)
-        if entry.items:
-            if visitor.visit(entry, text, pos):
+        if pos + 1 <= len(text) - 1:
+            self._deep_first_round(text, pos + 1, entry, visitor)
+        items = self.items.get(entry)
+        if items:
+            if visitor.visit(items, self.key_len[entry], text, pos):
                 pos = visitor.position_after_accept_item()
                 if pos + 1 <= len(text) - 1:
                     self.deep_most_query(text, pos + 1, visitor)
-                visitor.end_visit(entry, text, pos)
+                visitor.end_visit(self.key_len[entry], text, pos)
+
+    def has_prefix2(self, text: str, pos: int) -> bool:
+        """Cheap guard for mention scanning: does any indexed name start with
+        text[pos:pos+2]? (All region names are >= 2 chars, so a position that
+        fails this cannot begin a match — skip the visitor machinery.)"""
+        children = self.children
+        node = children.get(ord(text[pos]))
+        if node is None:
+            return False
+        if pos + 1 >= len(text):
+            return False
+        return ((node << _CH_BITS) | ord(text[pos + 1])) in children
 
     def full_match(self, text: str):
         """Exact whole-string lookup (TermIndexBuilder.java:133-144)."""
         if not text:
             return None
-        node = self.root
+        children = self.children
+        node = 0
         for ch in text:
-            if node.children is None:
-                return None
-            node = node.children.get(ch)
+            node = children.get((node << _CH_BITS) | ord(ch))
             if node is None:
                 return None
-        return node.items
+        return self.items.get(node)

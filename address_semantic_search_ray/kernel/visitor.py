@@ -12,6 +12,10 @@ Direct semantic port of ``interpret/RegionInterpreterVisitor.java:61-557``:
 
 One visitor instance per actor/worker (stateful, reset per row) — mirrors the
 reference's explicitly non-thread-safe, zero-alloc reuse design (``:52-56``).
+
+Items arrive from the trie as ``(term_type, region, is_full)`` — full-match-
+ness is precomputed at index build (a constant of the indexed name and
+region; the reference recomputes it per visit, ``isFullMatch`` java:391-399).
 """
 
 from __future__ import annotations
@@ -28,22 +32,6 @@ _ACCEPTABLE_ITEM_TYPES = frozenset((
 ))
 
 
-def _is_full_match(entry, region) -> bool:
-    # RegionInterpreterVisitor.java:391-399
-    if region is None:
-        return False
-    if entry.key_len == len(region.name):
-        return True
-    if (
-        region.type == RegionType.STREET
-        and region.name.endswith("街道")
-        and len(region.name) == entry.key_len + 1
-    ):
-        # xx街道 matched via alias xx镇/xx乡 counts as a full match
-        return True
-    return False
-
-
 class RegionVisitor:
     __slots__ = (
         "regions", "current_level", "deep_most_level", "current_pos", "deep_most_pos",
@@ -55,7 +43,7 @@ class RegionVisitor:
         self.regions = regions
         self.deep_most_division = Division()
         self.cur_division = Division()
-        self.stack: list[tuple[str, object]] = []
+        self.stack: list[tuple] = []  # (term_type, region, is_full)
         self.reset()
 
     # -- visitor contract --------------------------------------------------
@@ -63,28 +51,28 @@ class RegionVisitor:
     def start_round(self):
         self.current_level += 1
 
-    def visit(self, entry, text: str, pos: int) -> bool:
-        item = self._find_acceptable_item(entry, text, pos)
+    def visit(self, items, key_len: int, text: str, pos: int) -> bool:
+        item = self._find_acceptable_item(items, key_len, text, pos)
         if item is None:
             return False
         region = item[1]  # None for Ignore items
         self.stack.append(item)
-        if _is_full_match(entry, region):
+        if item[2]:
             self.full_match_count += 1
-        self.current_pos = self._positioning(region, entry, text, pos)
+        self.current_pos = self._positioning(region, item[2], text, pos)
         self._update_current_division(region)
         return True
 
     def position_after_accept_item(self) -> int:
         return self.current_pos
 
-    def end_visit(self, entry, text: str, pos: int):
+    def end_visit(self, key_len: int, text: str, pos: int):
         # RegionInterpreterVisitor.java:140-192
         self._check_deep_most()
 
-        term_type, region = self.stack.pop()
-        self.current_pos = pos - entry.key_len
-        if _is_full_match(entry, region):
+        term_type, region, is_full = self.stack.pop()
+        self.current_pos = pos - key_len
+        if is_full:
             # NOTE: the reference *increments* here too (:149) — kept for parity.
             self.full_match_count += 1
         if term_type == TermType.IGNORE:
@@ -92,7 +80,7 @@ class RegionVisitor:
 
         cur = self.cur_division
         least = street = town = village = None
-        for t, r in self.stack:
+        for t, r, _f in self.stack:
             if t == TermType.IGNORE:
                 continue
             rt = r.type
@@ -133,13 +121,13 @@ class RegionVisitor:
 
     # -- internals ---------------------------------------------------------
 
-    def _positioning(self, region, entry, text: str, pos: int) -> int:
+    def _positioning(self, region, is_full: bool, text: str, pos: int) -> int:
         # RegionInterpreterVisitor.java:206-225
         if region is None:
             return pos
         if (
-            region.type in (RegionType.CITY, RegionType.DISTRICT, RegionType.STREET)
-            and not _is_full_match(entry, region)
+            not is_full
+            and region.type in (RegionType.CITY, RegionType.DISTRICT, RegionType.STREET)
             and pos + 1 <= len(text) - 1
         ):
             c = text[pos + 1]
@@ -151,14 +139,20 @@ class RegionVisitor:
                 return pos + 1
         return pos
 
-    def _find_acceptable_item(self, entry, text: str, pos: int):
+    def _find_acceptable_item(self, items, key_len: int, text: str, pos: int):
         # RegionInterpreterVisitor.java:234-390
         most_priority = -1
         acceptable = None
         cur = self.cur_division
         get_region = self.regions.get
-        for item in entry.items:
-            term_type, region = item
+        cur_province = cur.province
+        # hoisted: constant during the item loop (cur division is not mutated
+        # while scanning one entry's items — same in the reference)
+        least = cur.least_region() if cur_province is not None else None
+        least_id = least.id if least is not None else None
+        n = len(text)
+        for item in items:
+            term_type, region, is_full = item
             if term_type not in _ACCEPTABLE_ITEM_TYPES:
                 continue
 
@@ -169,7 +163,7 @@ class RegionVisitor:
                 continue
 
             # nothing matched yet -> pick the highest level (lowest type value)
-            if cur.province is None:
+            if cur_province is None:
                 if most_priority == -1:
                     most_priority = int(region.type)
                     acceptable = item
@@ -178,18 +172,19 @@ class RegionVisitor:
                     acceptable = item
                 continue
 
+            rtype = region.type
+
             # alias-matched street/town can't be followed by region/road keywords
-            if not _is_full_match(entry, region) and pos + 1 <= len(text) - 1:
-                if region.type in (RegionType.STREET, RegionType.TOWN):
+            if not is_full and pos + 1 <= n - 1:
+                if rtype == RegionType.STREET or rtype == RegionType.TOWN:
                     nxt = text[pos + 1]
                     if nxt in "区县乡镇村街路":
                         continue
-                    if nxt == "大" and pos + 2 <= len(text) - 1 and text[pos + 2] in "街道":
+                    if nxt == "大" and pos + 2 <= n - 1 and text[pos + 2] in "街道":
                         continue
 
             # 1. exact next-level child of the current division
-            least = cur.least_region()
-            if least is not None and region.parent_id == least.id:
+            if region.parent_id == least_id:
                 acceptable = item
                 break
 
@@ -199,10 +194,9 @@ class RegionVisitor:
                 # 2.1 city missing: province + district
                 if (
                     cur.city is None
-                    and cur.province is not None
-                    and region.type == RegionType.DISTRICT
+                    and rtype == RegionType.DISTRICT
                     and parent is not None
-                    and cur.province.id == parent.parent_id
+                    and cur_province.id == parent.parent_id
                 ):
                     most_priority = 2
                     acceptable = item
@@ -211,7 +205,7 @@ class RegionVisitor:
                 if (
                     cur.district is None
                     and cur.city is not None
-                    and region.type in (
+                    and rtype in (
                         RegionType.STREET, RegionType.TOWN,
                         RegionType.PLATFORM_L4, RegionType.VILLAGE,
                     )
@@ -224,13 +218,14 @@ class RegionVisitor:
 
             # 3. region repeated in the address
             if most_priority == -1 or most_priority > 3:
+                rid = region.id
                 if (
-                    (cur.province is not None and cur.province.id == region.id)
-                    or (cur.city is not None and cur.city.id == region.id)
-                    or (cur.district is not None and cur.district.id == region.id)
-                    or (cur.street is not None and cur.street.id == region.id)
-                    or (cur.town is not None and cur.town.id == region.id)
-                    or (cur.village is not None and cur.village.id == region.id)
+                    (cur_province is not None and cur_province.id == rid)
+                    or (cur.city is not None and cur.city.id == rid)
+                    or (cur.district is not None and cur.district.id == rid)
+                    or (cur.street is not None and cur.street.id == rid)
+                    or (cur.town is not None and cur.town.id == rid)
+                    or (cur.village is not None and cur.village.id == rid)
                 ):
                     most_priority = 3
                     acceptable = item
@@ -240,29 +235,27 @@ class RegionVisitor:
             if most_priority == -1 or most_priority > 4:
                 # 4.1 city-level district directly under the matched province (阿拉尔)
                 if (
-                    region.type == RegionType.CITY_LEVEL_DISTRICT
-                    and cur.province is not None
-                    and cur.province.id == region.parent_id
+                    rtype == RegionType.CITY_LEVEL_DISTRICT
+                    and cur_province.id == region.parent_id
                 ):
                     most_priority = 4
                     acceptable = item
                     continue
                 # 4.2 full-name district whose city disagrees but province agrees
                 if (
-                    region.type == RegionType.DISTRICT
+                    rtype == RegionType.DISTRICT
                     and cur.city is not None
-                    and cur.province is not None
-                    and _is_full_match(entry, region)
+                    and is_full
                     and cur.city.id != region.parent_id
                 ):
                     city = get_region(region.parent_id)
-                    if city is not None and city.parent_id == cur.province.id:
+                    if city is not None and city.parent_id == cur_province.id:
                         most_priority = 4
                         acceptable = item
                         continue
 
             # 5. street/town/village not covered above
-            if region.type in (
+            if rtype in (
                 RegionType.STREET, RegionType.TOWN, RegionType.VILLAGE, RegionType.PLATFORM_L4
             ):
                 if cur.district is None:
@@ -280,11 +273,20 @@ class RegionVisitor:
         return acceptable
 
     def _update_current_division(self, region):
-        # RegionInterpreterVisitor.java:423-471
+        # RegionInterpreterVisitor.java:423-471 (repeat check by region id —
+        # Region.__eq__ is id equality, so this is the same predicate)
         if region is None:
             return
         cur = self.cur_division
-        if region in (cur.province, cur.city, cur.district, cur.street, cur.town, cur.village):
+        rid = region.id
+        if (
+            (cur.province is not None and cur.province.id == rid)
+            or (cur.city is not None and cur.city.id == rid)
+            or (cur.district is not None and cur.district.id == rid)
+            or (cur.street is not None and cur.street.id == rid)
+            or (cur.town is not None and cur.town.id == rid)
+            or (cur.village is not None and cur.village.id == rid)
+        ):
             return
         get_region = self.regions.get
         t = region.type

@@ -164,3 +164,78 @@ def run_kg_pipeline(
     return {"triples": triples_dir, "mentions": mentions_dir, "doc_vectors": doc_dir,
             "idf": idf_dir, "links": links_dir, "metrics": runner.metrics,
             "metrics_path": metrics_path}
+
+
+def run_kg_streaming(
+    data_dir: str,
+    out_dir: str,
+    region_dict_path: str | None = None,
+    *,
+    top_n: int = 1,
+    concurrency: int = 4,
+    batch_size: int = 2048,
+) -> dict:
+    """Broadcast-index mode: ONE streaming pass over the transcripts.
+
+    The corpus index (doc vectors + idf, built distributed) is ``ray.put``
+    and joined map-side inside a fused mention+link actor stage — no sort,
+    no co-partition shuffle, no mid-pipeline disk. Use when the corpus index
+    fits in worker memory (the common case: the corpus is tiny next to a
+    10^12-turn transcript table); ``run_kg_pipeline`` is the
+    checkpointed/partitioned path for when it does not. Both modes emit
+    identical triples.
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..stages.fused import MentionLinkTriplesStage, finalize_route_group
+
+    region_dict_path = region_dict_path or default_region_dict_path()
+    addresses_path = os.path.join(data_dir, "addresses.parquet")
+    transcripts_path = os.path.join(data_dir, "transcripts.parquet")
+
+    region_ref = put_region_table(region_dict_path)
+
+    # corpus index: distributed interpret + distributed IDF, then broadcast
+    corpus_conc = max(2, concurrency // 3)
+    corpus_ds = (
+        rd.read_parquet(addresses_path, columns=["addr_id", "text"])
+        .repartition(corpus_conc * 4)
+        .map_batches(
+            CorpusInterpretStage,
+            fn_constructor_args=(region_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=corpus_conc,
+        )
+        .materialize()
+    )
+    idf_ds = build_idf(corpus_ds)
+    docs_tbl = pa.concat_tables(
+        ray.get(corpus_ds.drop_columns(["term_keys"]).to_arrow_refs()))
+    idf_tbl = pa.concat_tables(ray.get(idf_ds.to_arrow_refs()))
+    index_ref = ray.put({"docs": docs_tbl, "idf": idf_tbl})
+
+    triples_ds = (
+        rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
+        .repartition(concurrency * 6)
+        .map_batches(
+            MentionLinkTriplesStage,
+            fn_constructor_args=(region_ref, index_ref, top_n),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        .groupby("route")
+        .map_groups(finalize_route_group, batch_format="pyarrow")
+    )
+    # ONE streaming job end-to-end: fused mention+link+emit, a single routed
+    # groupby covering both per-conv canonicalization and global part_of
+    # dedup, then the write. No mid-pipeline materialization.
+    os.makedirs(out_dir, exist_ok=True)
+    triples_dir = os.path.join(out_dir, "triples")
+    import shutil
+
+    shutil.rmtree(triples_dir, ignore_errors=True)
+    triples_ds.write_parquet(triples_dir)
+    return {"triples": triples_dir}

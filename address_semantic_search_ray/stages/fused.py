@@ -1,0 +1,258 @@
+"""Fused mention-detection + linking stage (broadcast-index mode).
+
+When the historical corpus index fits in the object store — and against a
+10^12-turn transcript table the corpus IS the small side — the idiomatic Ray
+Data shape is a broadcast map-side join: the doc-vector + idf tables are
+``ray.put`` once, each actor builds its in-memory district index in
+``__init__``, and mention detection + top-1 linking happen in one pass over
+the transcript stream with NO shuffle at all (no sort, no co-partition).
+
+The checkpointed pipeline (pipelines/kg.py, bucketed partitions + sorted
+actor pool) is the path for when the corpus outgrows worker memory; both
+modes produce byte-identical triples.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernel.document import doc_from_fields, term_idf_key
+from ..kernel.mentions import district_key, find_mentions
+from ..kernel.similarity import find_similar
+from .interpret import _RegionStateMixin, _region_ids
+
+FUSED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("mention_idx", pa.int32()),
+    ("role", pa.string()),
+    ("district_key", pa.string()),
+    ("least_region_id", pa.int64()),
+    ("linked_addr", pa.int64()),
+    ("score", pa.float64()),
+    ("region_chain", pa.list_(pa.int64())),
+])
+
+
+def build_index_from_tables(docs_tbl: pa.Table, idf_tbl: pa.Table) -> dict:
+    """{district_key: (docs, idf_map)} with idf stamped (same semantics as
+    stages.link.load_bucket_index, but from in-memory Arrow)."""
+    idf_by_district: dict[str, dict] = {}
+    for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
+                              idf_tbl.column("term_key").to_pylist(),
+                              idf_tbl.column("idf").to_pylist()):
+        idf_by_district.setdefault(dist, {})[key] = idf
+    out: dict[str, tuple[list, dict]] = {}
+    for addr_id, dist, town, village, road, road_num, residual in zip(
+        docs_tbl.column("addr_id").to_pylist(),
+        docs_tbl.column("district_key").to_pylist(),
+        docs_tbl.column("town").to_pylist(),
+        docs_tbl.column("village").to_pylist(),
+        docs_tbl.column("road").to_pylist(),
+        docs_tbl.column("road_num").to_pylist(),
+        docs_tbl.column("residual").to_pylist(),
+    ):
+        d = doc_from_fields(addr_id, town, village, road, road_num, residual)
+        idf = idf_by_district.get(dist, {})
+        for t in d.terms:
+            t.idf = idf.get(term_idf_key(t), 0.0)
+        out.setdefault(dist, ([], idf))[0].append(d)
+    return out
+
+
+class MentionLinkStage(_RegionStateMixin):
+    """transcripts -> link rows (+ region_chain) in one actor-pool pass."""
+
+    def __init__(self, region_ref, index_ref, top_n: int = 1):
+        import ray
+
+        self._init_interpreter(region_ref)
+        tables = ray.get(index_ref)
+        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self.top_n = top_n
+        self._results: dict[tuple, tuple] = {}
+        self._freeze_state()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        it = self.interpreter
+        out = {name: [] for name in FUSED_SCHEMA.names}
+        for conv_id, turn_idx, role, text in zip(
+            batch.column("conv_id").to_pylist(),
+            batch.column("turn_idx").to_pylist(),
+            batch.column("role").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if not text:
+                continue
+            for mention_idx, m in enumerate(find_mentions(text, it)):
+                a = m.addr
+                key = district_key(a)
+                least, chain = _region_ids(a)
+                town = a.town.name if a.town is not None else ""
+                village = a.village.name if a.village is not None else ""
+                memo_key = (key, town, village, a.road, a.road_num, a.text)
+                hit = self._results.get(memo_key)
+                if hit is not None:
+                    linked, score = hit
+                else:
+                    entry = self.index.get(key)
+                    if entry is not None:
+                        docs, idf = entry
+                        q = doc_from_fields(-1, town, village, a.road, a.road_num,
+                                            a.text, idf_lookup=idf)
+                        top = find_similar(q, docs, top_n=self.top_n)
+                    else:
+                        top = []
+                    linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
+                    if len(self._results) > 500_000:
+                        self._results.clear()
+                    self._results[memo_key] = (linked, score)
+                out["conv_id"].append(conv_id)
+                out["turn_idx"].append(turn_idx)
+                out["mention_idx"].append(mention_idx)
+                out["role"].append(role)
+                out["district_key"].append(key)
+                out["least_region_id"].append(least)
+                out["linked_addr"].append(linked)
+                out["score"].append(score)
+                out["region_chain"].append(chain)
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in FUSED_SCHEMA], schema=FUSED_SCHEMA
+        )
+
+
+class BroadcastLinker:
+    """Linking-only actor over mention rows, scoring against the broadcast
+    index. Used after a district sort so each memo key lands on ~one actor
+    (an unsorted stream fragments the memo across the pool: N actors pay N
+    cold misses per repeated query shape)."""
+
+    def __init__(self, index_ref, top_n: int = 1):
+        import gc
+
+        import ray
+
+        tables = ray.get(index_ref)
+        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self.top_n = top_n
+        self._results: dict[tuple, tuple] = {}
+        gc.collect()
+        gc.freeze()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        linked_out, score_out = [], []
+        for key, town, village, road, road_num, residual in zip(
+            batch.column("district_key").to_pylist(),
+            batch.column("town").to_pylist(),
+            batch.column("village").to_pylist(),
+            batch.column("road").to_pylist(),
+            batch.column("road_num").to_pylist(),
+            batch.column("residual").to_pylist(),
+        ):
+            memo_key = (key, town, village, road, road_num, residual)
+            hit = self._results.get(memo_key)
+            if hit is not None:
+                linked, score = hit
+            else:
+                entry = self.index.get(key)
+                if entry is not None:
+                    docs, idf = entry
+                    q = doc_from_fields(-1, town, village, road, road_num, residual,
+                                        idf_lookup=idf)
+                    top = find_similar(q, docs, top_n=self.top_n)
+                else:
+                    top = []
+                linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
+                if len(self._results) > 500_000:
+                    self._results.clear()
+                self._results[memo_key] = (linked, score)
+            linked_out.append(linked)
+            score_out.append(score)
+        out = batch.select(["conv_id", "turn_idx", "mention_idx", "role",
+                            "district_key", "least_region_id", "region_chain"])
+        out = out.append_column("linked_addr", pa.array(linked_out, pa.int64()))
+        return out.append_column("score", pa.array(score_out, pa.float64()))
+
+
+TRIPLE_ROUTE_SCHEMA = pa.schema([
+    ("route", pa.int32()),  # <1000: conv bucket; >=1000: part_of edge bucket
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("mention_idx", pa.int32()),
+    ("district_key", pa.string()),
+    ("score", pa.float64()),
+])
+
+_N_CONV_BUCKETS = 256
+_N_EDGE_BUCKETS = 64
+
+
+class MentionLinkTriplesStage(MentionLinkStage):
+    """Fully fused: transcripts -> routed triple rows in ONE pass.
+
+    Emits located_at/mentions rows routed by conv bucket plus batch-deduped
+    part_of edge rows routed by edge bucket, so the whole pipeline is a single
+    streaming job: read -> this stage -> one groupby -> finalize -> write.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        link_rows = super().__call__(batch)
+        cols = {n: [] for n in TRIPLE_ROUTE_SCHEMA.names}
+        edges = set()
+
+        def add(route, subj, pred, obj, conv, turn, mi, key, score):
+            cols["route"].append(route)
+            cols["subj"].append(subj)
+            cols["pred"].append(pred)
+            cols["obj"].append(obj)
+            cols["conv_id"].append(conv)
+            cols["turn_idx"].append(turn)
+            cols["mention_idx"].append(mi)
+            cols["district_key"].append(key)
+            cols["score"].append(score)
+
+        for conv, turn, mi, role, key, least, linked, score, chain in zip(
+            link_rows.column("conv_id").to_pylist(),
+            link_rows.column("turn_idx").to_pylist(),
+            link_rows.column("mention_idx").to_pylist(),
+            link_rows.column("role").to_pylist(),
+            link_rows.column("district_key").to_pylist(),
+            link_rows.column("least_region_id").to_pylist(),
+            link_rows.column("linked_addr").to_pylist(),
+            link_rows.column("score").to_pylist(),
+            link_rows.column("region_chain").to_pylist(),
+        ):
+            route = zlib.crc32(conv.encode()) % _N_CONV_BUCKETS
+            add(route, f"conv:{conv}:{role}", "located_at", f"region:{least}",
+                conv, turn, mi, key, score)
+            obj = f"addr:{linked}" if linked >= 0 else "addr:none"
+            add(route, f"conv:{conv}", "mentions", obj, conv, turn, mi, key, score)
+            for child, parent in zip(chain, chain[1:]):
+                edges.add((f"region:{child}", f"region:{parent}"))
+        for s, o in edges:
+            add(1000 + zlib.crc32((s + o).encode()) % _N_EDGE_BUCKETS,
+                s, "part_of", o, "", -1, -1, "", 1.0)
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in TRIPLE_ROUTE_SCHEMA],
+            schema=TRIPLE_ROUTE_SCHEMA,
+        )
+
+
+def finalize_route_group(group: pa.Table) -> pa.Table:
+    """One routed bucket -> final triple rows (canonicalize or edge-dedup)."""
+    from .triples import TRIPLE_SCHEMA, _PRED_ORDER
+
+    df = group.to_pandas()
+    if int(df["route"].iloc[0]) >= 1000:
+        df = df.drop_duplicates(["subj", "obj"]).sort_values(["subj", "obj"])
+    else:
+        df["_po"] = df["pred"].map(_PRED_ORDER).fillna(9).astype("int64")
+        df = df.sort_values(["conv_id", "turn_idx", "mention_idx", "_po"], kind="stable")
+        df = df.drop_duplicates(["conv_id", "subj", "pred", "obj"], keep="first")
+    df = df[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
+    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA, preserve_index=False)

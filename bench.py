@@ -62,27 +62,40 @@ def run_bench() -> dict:
 
     from address_semantic_search_ray.data.synth import ensure_dataset, scale_for_sf
     from address_semantic_search_ray.pipelines import queries as q
-    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline, run_kg_streaming
 
     sf = float(os.path.basename(SF_DIR.rstrip("/"))[2:]) if "sf" in os.path.basename(SF_DIR.rstrip("/")) else 0.1
-    data_dir = ensure_dataset(sf, root="/tmp/asr_synth")
-    _, n_turns = scale_for_sf(sf)
+    mult = float(os.environ.get("ASR_BENCH_TURNS_MULT", "10"))
+    data_dir = ensure_dataset(sf, root="/tmp/asr_synth", multiplier=mult)
+    _, base_turns = scale_for_sf(sf)
+    n_turns = int(base_turns * mult)
 
     # warm the page cache with one untimed read
     import pyarrow.parquet as pq
 
     pq.read_table(os.path.join(data_dir, "transcripts.parquet"))
 
-    # headline: full KG pipeline, cold (no resume), fresh work dir
+    conc = max(2, min(NUM_CPUS - 2, 28))
+
+    # headline: broadcast-index streaming KG pipeline (the corpus is the small
+    # side; one pass over the transcript stream, no mid-pipeline disk)
     work = f"/tmp/asr_bench_work/sf{sf:g}_cpu{NUM_CPUS}"
     shutil.rmtree(work, ignore_errors=True)
-    conc = max(2, min(NUM_CPUS - 2, 28))
     t0 = time.time()
-    run_kg_pipeline(data_dir, work, concurrency=conc, batch_size=1024, salt=2, resume=False)
+    run_kg_streaming(data_dir, os.path.join(work, "stream"), concurrency=conc, batch_size=1024)
     kg_sec = time.time() - t0
 
-    timings = {"kg_pipeline": round(kg_sec, 3)}
-    for name in BENCH_QUERIES:
+    headline_only = os.environ.get("ASR_BENCH_HEADLINE_ONLY") == "1"
+
+    timings = {"kg_pipeline_streaming": round(kg_sec, 3)}
+    if not headline_only:
+        # the checkpointed/partitioned mode, timed at base scale for comparison
+        base_dir = ensure_dataset(sf, root="/tmp/asr_synth")
+        t0 = time.time()
+        run_kg_pipeline(base_dir, os.path.join(work, "ckpt"), concurrency=conc,
+                        batch_size=1024, resume=False)
+        timings["kg_pipeline_checkpointed_base_scale"] = round(time.time() - t0, 3)
+    for name in (() if headline_only else BENCH_QUERIES):
         fn = getattr(q, name)
         t0 = time.time()
         _consume(fn(SF_DIR))
@@ -108,10 +121,12 @@ def run_scaling() -> dict:
     sys.path.insert(0, REPO)
     from address_semantic_search_ray.data.synth import ensure_dataset
 
+    mult = float(os.environ.get("ASR_BENCH_TURNS_MULT", "10"))
+    ensure_dataset(sf, root="/tmp/asr_synth", multiplier=mult)
     ensure_dataset(sf, root="/tmp/asr_synth")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), ASR_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True, check=True,
                              cwd=REPO).stdout

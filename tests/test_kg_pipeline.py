@@ -130,3 +130,14 @@ def test_salted_linking_is_invariant(ray_session, tiny_data, tmp_path_factory, p
     a = pq.read_table(res["triples"])
     b = pq.read_table(pipeline_result["triples"])
     assert _triple_set(a) == _triple_set(b)
+
+
+def test_streaming_mode_matches_checkpointed(ray_session, tiny_data, tmp_path_factory, pipeline_result):
+    """Broadcast-index streaming mode must emit byte-identical triples."""
+    from address_semantic_search_ray.pipelines.kg import run_kg_streaming
+
+    out = str(tmp_path_factory.mktemp("kgstream"))
+    res = run_kg_streaming(tiny_data, out, concurrency=2)
+    a = pq.read_table(res["triples"])
+    b = pq.read_table(pipeline_result["triples"])
+    assert _triple_set(a) == _triple_set(b)
