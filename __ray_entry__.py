@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_image_meta": q.multimodal_image_meta,
         "multimodal_audio_frames": q.multimodal_audio_frames,
+        # secondary reference pipelines
+        "town_mining": q.town_mining,
+        "regression_harness": q.regression_harness,
+        "region_dic_export": q.region_dic_export,
         # KG-construction flagship
         "kg_triples": q.kg_triples,
         "kg_mentions": q.kg_mentions,
@@ -171,6 +175,20 @@ def oracle_sql() -> dict[str, str]:
                               ELSE greatest(ln(c.n_docs::DOUBLE / (d.df + 1)), 0) END,
                          6) AS idf
             FROM df d JOIN counts c USING (district_key)
+        """,
+        "region_dic_export": f"""
+            WITH dv AS (SELECT road, road_num FROM read_parquet(
+                            '{SF001_WORK}/doc_vectors/*/*.parquet', hive_partitioning=true)),
+                 terms AS (
+                    SELECT name AS term FROM read_parquet(
+                        '/root/repo/address_semantic_search_ray/data/region_dict.parquet')
+                    UNION
+                    SELECT road FROM dv WHERE road <> ''
+                    UNION
+                    SELECT road || road_num FROM dv WHERE road <> '' AND road_num <> ''
+                 )
+            SELECT term, length(term)::BIGINT AS term_len FROM terms
+            WHERE length(term) > 0
         """,
         "kg_turn_stats": f"""
             SELECT conv_id, count(*) AS n_turns,

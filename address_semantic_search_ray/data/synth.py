@@ -36,6 +36,11 @@ ROADS = [
     "青年路", "胜利街", "光明路", "新华路", "育才街", "工业大道", "滨河路",
     "花园街", "学府路", "金水路", "迎宾大道",
 ]
+VILLAGES = [  # rural village segments (not in the region dict -> minable, P8)
+    "马家村", "王家村", "李家村", "赵家村", "周家村", "陈家村", "杨柳村",
+    "石桥村", "柳林村", "梅花村",
+]
+TOWNSHIPS = ["青山镇", "柳河镇", "白水乡", "梅岭乡"]  # likewise minable
 COMMUNITIES = [
     "阳光花园", "翠微小区", "锦绣家园", "金色港湾", "绿城广场", "丽景天成",
     "紫荆公寓", "万象新城", "香樟雅苑", "清华园", "碧水云天", "康庄小区",
@@ -101,6 +106,10 @@ def generate_addresses(region_dict: RegionDict, n_addresses: int, seed: int = SE
             parts.append(dist.name)
         if street is not None:
             parts.append(street.name)
+        if rng.random() < 0.15:  # rural shape: minable township/village segment
+            if rng.random() < 0.4:
+                parts.append(rng.choice(TOWNSHIPS))
+            parts.append(rng.choice(VILLAGES))
         parts += [road, f"{num}号", community, bldg]
         text = "".join(parts)
         if text in seen:
@@ -204,6 +213,28 @@ def generate_transcripts(addresses: pa.Table, n_turns: int, seed: int = SEED):
     return transcripts, truth_t
 
 
+def _write_regression_csv(addresses: pa.Table, path: str, seed: int):
+    """Labeled 7-field quoted-CSV regression file (F5; format per
+    misc/RegressionTestImportWLData.java:29,96-103). The first three fields
+    are the address's own leading components re-split coarsely; ``detail`` is
+    a noisy variant; ``grid_id`` is the label the linker must recover."""
+    rng = random.Random(seed)
+    lines = []
+    texts = addresses.column("text").to_pylist()
+    grids = addresses.column("grid_id").to_pylist()
+    ids = addresses.column("addr_id").to_pylist()
+    for addr_id, text, grid in zip(ids, texts, grids):
+        if rng.random() > 0.25:  # a sample, like a labeled eval set
+            continue
+        variant = _variant(text, rng)
+        ts = (_BASE_TS + timedelta(minutes=addr_id * 3)).strftime("%m/%d/%Y %H:%M:%S")
+        if rng.random() < 0.05:
+            ts = "bogus-date"  # exercises the 1900-01-01 default path
+        lines.append(f'"O{addr_id:06d}","","","","{variant}","{ts}","{grid}"')
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 # -- cached materialization --------------------------------------------------
 
 def scale_for_sf(sf: float) -> tuple[int, int]:
@@ -229,7 +260,7 @@ def ensure_dataset(sf: float, root: str = "/tmp/asr_synth",
     marker = os.path.join(out, "_SUCCESS")
     n_addr, n_turns = scale_for_sf(sf)
     n_turns = int(n_turns * multiplier)
-    stamp = f"{SEED}:{n_addr}:{n_turns}:v3"
+    stamp = f"{SEED}:{n_addr}:{n_turns}:v4"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     if region_dict_path is None:
@@ -240,6 +271,7 @@ def ensure_dataset(sf: float, root: str = "/tmp/asr_synth",
     os.makedirs(out, exist_ok=True)
     # small row groups so Ray can split the read into parallel blocks
     pq.write_table(addresses, os.path.join(out, "addresses.parquet"), row_group_size=2048)
+    _write_regression_csv(addresses, os.path.join(out, "regression.csv"), seed=SEED + 2)
     # multiple row groups so Ray can split blocks
     pq.write_table(transcripts, os.path.join(out, "transcripts.parquet"), row_group_size=16384)
     pq.write_table(truth, os.path.join(out, "mentions_truth.parquet"))

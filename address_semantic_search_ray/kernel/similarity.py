@@ -211,3 +211,75 @@ def find_similar(qdoc: Doc, docs, top_n: int = 5) -> list[tuple]:
         if top_n == 1 and sim == 1.0:
             break
     return keeper.sorted_desc()
+
+
+def compute_doc_similarity_explain(qdoc: Doc, doc: Doc):
+    """Explain variant: returns (similarity, matched_terms) where each match is
+    a dict (text, type, boost, tfidf, density, coord) — the ``MatchedTerm``
+    record of the reference's explain path (``MatchedTerm.java:3-45``,
+    ``SimilarityComputer.java:523-536``; density/coord are -1 for non-Text
+    terms, as there)."""
+    q_text_count = 0
+    match_count = 0
+    match_start = match_end = -1
+    text_index = doc.text_term_index()
+    for qterm in qdoc.terms:
+        if qterm.type != TermType.TEXT:
+            continue
+        q_text_count += 1
+        i = text_index.get(qterm.text)
+        if i is not None:
+            match_count += 1
+            if match_start == -1:
+                match_start = match_end = i
+            elif i > match_end:
+                match_end = i
+            elif i < match_start:
+                match_start = i
+    coord_text = 1.0
+    density_text = 1.0
+    if q_text_count > 0:
+        coord_text = math.sqrt(match_count * 1.0 / q_text_count) * 0.5 + 0.5
+    if q_text_count >= 2 and match_count >= 2:
+        density_text = math.sqrt(match_count * 1.0 / (match_end - match_start + 1)) * 0.5 + 0.5
+
+    sum_qd = sum_qq = sum_dd = 0.0
+    matched = []
+    for qterm in qdoc.terms:
+        qboost = get_boost_value(False, qdoc, qterm, doc, None)
+        qtfidf = qterm.get_idf() * qboost
+        dterm = doc.get_term(qterm.text)
+        if dterm is None and qterm.type == TermType.ROAD_NUM:
+            if (doc.road_num is not None and doc.road is not None
+                    and qterm.ref is not None and doc.road.text == qterm.ref.text):
+                dterm = doc.road_num
+        dboost = 0.0 if dterm is None else get_boost_value(True, qdoc, qterm, doc, dterm)
+        is_text = dterm is not None and dterm.type == TermType.TEXT
+        coord = coord_text if is_text else 1.0
+        density = density_text if is_text else 1.0
+        dtfidf = (dterm.get_idf() if dterm is not None else qterm.get_idf()) * dboost * coord * density
+        if dterm is not None:
+            matched.append({
+                "text": dterm.text, "type": dterm.type, "boost": dboost,
+                "tfidf": dtfidf,
+                "density": density if is_text else -1.0,
+                "coord": coord if is_text else -1.0,
+            })
+        sum_qq += qtfidf * qtfidf
+        sum_qd += qtfidf * dtfidf
+        sum_dd += dtfidf * dtfidf
+    if sum_dd == 0.0 or sum_qq == 0.0:
+        return 0.0, matched
+    return sum_qd / math.sqrt(sum_qq * sum_dd), matched
+
+
+def find_similar_explain(qdoc: Doc, docs, top_n: int = 5):
+    """Top-N with per-doc matched-term explain records (the reference's
+    ``explain && topN>1`` path, SimilarityComputer.java:500-536)."""
+    scored = []
+    for doc in docs:
+        sim, matched = compute_doc_similarity_explain(qdoc, doc)
+        if sim > 0:
+            scored.append((doc.id, sim, matched))
+    scored.sort(key=lambda r: -r[1])
+    return scored[:top_n]

@@ -1,0 +1,205 @@
+"""Secondary reference pipelines: E4 town mining, E5 labeled regression.
+
+- E4 (``misc/ExtractTown.java:35-114``): lines -> scrub/brackets/region/
+  redundancy -> town/village mining (P8) -> per-district distinct (A3) ->
+  promotion to new region nodes with ``id = parent_id*10000 + seq`` and type
+  by last char 镇/乡 -> Town, 村 -> Village (``AddressPersister.importRegionTowns``,
+  java:168-199).
+- E5 (``misc/RegressionTestRunTest.java:73-184``): labeled 7-field CSV ->
+  interpret -> top-1 link -> compare grid_id -> accuracy buckets split at
+  similarity 0.85 (hs/hf/ls/lf/zero, A5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..stages.interpret import _RegionStateMixin
+from ..kernel.mentions import district_key
+
+SIM_THRESHOLD = 0.85  # RegressionTestRunTest.java:150-184
+
+
+class TownMineStage(_RegionStateMixin):
+    """text -> (district_id, town_name) candidate rows (P8 over the chain)."""
+
+    def __init__(self, region_ref):
+        self._init_interpreter(region_ref)
+        self._freeze_state()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        it = self.interpreter
+        dist_out, town_out = [], []
+        for text in batch.column("text").to_pylist():
+            towns: dict = {}
+            it.extract_town_village_text(text, it.visitor, towns)
+            for did, names in towns.items():
+                for name in names:
+                    dist_out.append(did)
+                    town_out.append(name)
+        return pa.table({
+            "district_id": pa.array(dist_out, pa.int64()),
+            "town_name": pa.array(town_out, pa.string()),
+        })
+
+
+def mine_towns(texts_ds, region_ref, concurrency: int = 4):
+    """E4: distributed mining + per-district distinct + region-node promotion.
+
+    Returns a Dataset of new region rows
+    (id, parent_id, type, name) — id allocation ``parent*10000 + seq`` with
+    seq ordered by name for determinism (the reference uses DB insert order).
+    """
+    import pandas as pd
+
+    cands = texts_ds.map_batches(
+        TownMineStage, fn_constructor_args=(region_ref,),
+        batch_format="pyarrow", batch_size=2048, concurrency=concurrency,
+    )
+
+    def promote(group: pd.DataFrame) -> pd.DataFrame:
+        did = int(group["district_id"].iloc[0])
+        names = sorted(set(group["town_name"]))
+        rows = []
+        for seq, name in enumerate(names, start=1):
+            # AddressPersister.importRegionTowns: 镇/乡 -> Town(400), 村 -> Village(410)
+            rtype = 410 if name.endswith("村") else 400
+            rows.append((did * 10000 + seq, did, rtype, name))
+        import numpy as np
+
+        return pd.DataFrame({
+            "id": np.asarray([r[0] for r in rows], dtype=np.int64),
+            "parent_id": np.asarray([r[1] for r in rows], dtype=np.int64),
+            "type": np.asarray([r[2] for r in rows], dtype=np.int64),
+            "name": [r[3] for r in rows],
+        })
+
+    return cands.groupby("district_id").map_groups(promote, batch_format="pandas")
+
+
+class RegressionLinkStage(_RegionStateMixin):
+    """regression rows -> (order_no, grid_id, linked_grid, similarity)."""
+
+    def __init__(self, region_ref, index_ref, grid_ref):
+        import ray as _ray
+
+        self._init_interpreter(region_ref)
+        from ..stages.fused import build_index_from_tables
+
+        tables = _ray.get(index_ref)
+        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self.grid_by_addr = _ray.get(grid_ref)
+        self._freeze_state()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernel.document import doc_from_fields
+        from ..kernel.similarity import find_similar
+
+        it = self.interpreter
+        orders, grids, linked_grids, sims = [], [], [], []
+        for order_no, text, grid in zip(
+            batch.column("order_no").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column("grid_id").to_pylist(),
+        ):
+            a = it.interpret(text)
+            linked_grid, sim = "", 0.0
+            if a is not None and a.province is not None and a.city is not None \
+                    and a.district is not None:
+                entry = self.index.get(district_key(a))
+                if entry is not None:
+                    docs, idf = entry
+                    q = doc_from_fields(
+                        -1, a.town.name if a.town else "", a.village.name if a.village else "",
+                        a.road, a.road_num, a.text, idf_lookup=idf)
+                    top = find_similar(q, docs, top_n=1)
+                    if top:
+                        linked_grid = self.grid_by_addr.get(top[0][0], "")
+                        sim = top[0][1]
+            orders.append(order_no)
+            grids.append(grid)
+            linked_grids.append(linked_grid)
+            sims.append(sim)
+        return pa.table({
+            "order_no": pa.array(orders, pa.string()),
+            "grid_id": pa.array(grids, pa.string()),
+            "linked_grid": pa.array(linked_grids, pa.string()),
+            "similarity": pa.array(sims, pa.float64()),
+        })
+
+
+def regression_accuracy(data_dir: str, region_dict_path: str | None = None,
+                        concurrency: int = 4):
+    """E5 harness: returns one-row Dataset with hs/hf/ls/lf/zero bucket counts
+    (hit/miss split at similarity 0.85, A5 semantics)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_regression_csv
+    from ..stages.idf import build_idf
+    from ..stages.interpret import CorpusInterpretStage, put_region_table
+    from .oracle import default_region_dict_path
+
+    region_dict_path = region_dict_path or default_region_dict_path()
+    region_ref = put_region_table(region_dict_path)
+
+    corpus_ds = (
+        rd.read_parquet(os.path.join(data_dir, "addresses.parquet"),
+                        columns=["addr_id", "text"])
+        .repartition(concurrency * 2)
+        .map_batches(CorpusInterpretStage, fn_constructor_args=(region_ref,),
+                     batch_format="pyarrow", batch_size=2048,
+                     concurrency=max(2, concurrency // 2))
+        .materialize()
+    )
+    idf_ds = build_idf(corpus_ds)
+    docs_tbl = pa.concat_tables(ray.get(corpus_ds.drop_columns(["term_keys"]).to_arrow_refs()))
+    idf_tbl = pa.concat_tables(ray.get(idf_ds.to_arrow_refs()))
+    index_ref = ray.put({"docs": docs_tbl, "idf": idf_tbl})
+
+    addr_tbl = pq.read_table(os.path.join(data_dir, "addresses.parquet"),
+                             columns=["addr_id", "grid_id"])
+    grid_ref = ray.put(dict(zip(addr_tbl.column("addr_id").to_pylist(),
+                                addr_tbl.column("grid_id").to_pylist())))
+
+    linked = read_regression_csv(os.path.join(data_dir, "regression.csv")).map_batches(
+        RegressionLinkStage, fn_constructor_args=(region_ref, index_ref, grid_ref),
+        batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
+    )
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        hs = hf = ls = lf = zero = 0
+        for grid, linked_grid, sim in zip(
+            batch.column("grid_id").to_pylist(),
+            batch.column("linked_grid").to_pylist(),
+            batch.column("similarity").to_pylist(),
+        ):
+            if sim <= 0:
+                zero += 1
+            elif sim >= SIM_THRESHOLD:
+                if linked_grid == grid:
+                    hs += 1
+                else:
+                    hf += 1
+            else:
+                if linked_grid == grid:
+                    ls += 1
+                else:
+                    lf += 1
+        return pa.table({
+            "hs": pa.array([hs], pa.int64()), "hf": pa.array([hf], pa.int64()),
+            "ls": pa.array([ls], pa.int64()), "lf": pa.array([lf], pa.int64()),
+            "zero": pa.array([zero], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    partials = linked.map_batches(buckets, batch_format="pyarrow")
+    agg = partials.aggregate(*[Sum(c, alias_name=c) for c in ("hs", "hf", "ls", "lf", "zero")])
+    import pandas as pd
+
+    return pd.DataFrame([agg])

@@ -412,3 +412,62 @@ def kg_turn_stats(sf_dir: str):
         .map_batches(lambda df: df.assign(n_turns=df["n_turns"].astype("int64")),
                      batch_format="pandas")
     )
+
+
+def town_mining(sf_dir: str):
+    """E4: mined town/village candidates promoted to region nodes (rows-only
+    oracle: the trie anti-join is not SQL-expressible)."""
+    from ..data.synth import ensure_dataset
+    from ..stages.interpret import put_region_table
+    from .extras import mine_towns
+    from .oracle import default_region_dict_path
+
+    data_dir = ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT)
+    region_ref = put_region_table(default_region_dict_path())
+    texts = rd.read_parquet(os.path.join(data_dir, "addresses.parquet"), columns=["text"])
+    return mine_towns(texts.repartition(8), region_ref, concurrency=4)
+
+
+def regression_harness(sf_dir: str):
+    """E5: labeled-regression accuracy buckets (hs/hf/ls/lf/zero @0.85)."""
+    from ..data.synth import ensure_dataset
+    from .extras import regression_accuracy
+
+    data_dir = ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT)
+    return regression_accuracy(data_dir, concurrency=4)
+
+
+def region_dic_export(sf_dir: str):
+    """S9/D3: distinct segmenter-dictionary terms (region names + corpus roads
+    + road+num), with char length — the reference's create-region-dic.sql."""
+    from .oracle import default_region_dict_path
+
+    _kg_artifacts(sf_dir)  # ensure doc_vectors checkpoint exists
+    sf = _sf_of(sf_dir)
+    work = os.path.join(WORK_ROOT, f"sf{sf:g}")
+    names = (
+        rd.read_parquet(default_region_dict_path(), columns=["name"])
+        .map_batches(lambda t: t.rename_columns(["term"]), batch_format="pyarrow")
+    )
+    dv = rd.read_parquet(os.path.join(work, "doc_vectors"), columns=["road", "road_num"])
+
+    def roads(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        road = batch.column("road")
+        num = batch.column("road_num")
+        mask = pc.not_equal(road, "")
+        r = road.filter(mask)
+        both = pc.and_(pc.not_equal(road, ""), pc.not_equal(num, ""))
+        rn = pc.binary_join_element_wise(road.filter(both), num.filter(both), "")
+        return pa.table({"term": pa.concat_arrays([r.combine_chunks(), rn.combine_chunks()])})
+
+    terms = names.union(dv.map_batches(roads, batch_format="pyarrow"))
+    distinct = terms.groupby("term").map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def add_len(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["term"].str.len() > 0].copy()
+        df["term_len"] = df["term"].str.len().astype("int64")
+        return df
+
+    return distinct.map_batches(add_len, batch_format="pandas")

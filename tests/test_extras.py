@@ -1,0 +1,133 @@
+"""Secondary pipelines: S1-S3 readers, E4 town mining, E5 regression harness,
+explain-mode scoring, string-util Java-parity edges (StringUtilTest.java:13-25)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from address_semantic_search_ray.data.synth import ensure_dataset
+from address_semantic_search_ray.kernel.stringutil import head, sub_from, sub_incl, tail
+from address_semantic_search_ray.sources.readers import parse_regression_line
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return ensure_dataset(0.001, root="/tmp/asr_synth_test")
+
+
+def test_regression_line_parser():
+    r = parse_regression_line('"O1","山东","青岛","市南区","宁夏路118号","01/02/2024 10:30:00","G1"')
+    assert r["order_no"] == "O1"
+    assert r["text"] == "山东青岛市南区宁夏路118号"
+    assert r["grid_id"] == "G1"
+    assert r["ts"].year == 2024
+    # bad date -> 1900-01-01 default (RegressionTestImportWLData.java:119-124)
+    r = parse_regression_line('"O2","a","b","c","d","bogus","G2"')
+    assert r["ts"].year == 1900
+    # malformed lines are dropped
+    assert parse_regression_line("not,quoted,line") is None
+    assert parse_regression_line('"too","few","fields"') is None
+
+
+def test_readers_ray(ray_session, tiny_data, tmp_path):
+    import ray.data as rd
+
+    from address_semantic_search_ray.sources.readers import (
+        read_address_lines, read_regression_csv, semicolon_to_text,
+    )
+
+    # S1: one address per line
+    p = tmp_path / "addrs.txt"
+    p.write_text("山东青岛市南区宁夏路1号\n广东广州从化区温泉镇新田村\n", encoding="utf-8")
+    ds = read_address_lines(str(p))
+    assert ds.count() == 2
+
+    # S2: semicolon format concatenation
+    sds = rd.from_items([{"text": "山东;青岛;市南区;宁夏路1号"}])
+    out = sds.map_batches(semicolon_to_text, batch_format="pyarrow").take(1)
+    assert out[0]["text"] == "山东青岛市南区宁夏路1号"
+
+    # S3: the generated regression CSV parses end-to-end
+    reg = read_regression_csv(os.path.join(tiny_data, "regression.csv"))
+    rows = reg.take(5)
+    assert all(r["grid_id"].startswith("G") for r in rows)
+
+
+def test_town_mining(ray_session, tiny_data):
+    import ray.data as rd
+
+    from address_semantic_search_ray.pipelines.extras import mine_towns
+    from address_semantic_search_ray.pipelines.oracle import default_region_dict_path
+    from address_semantic_search_ray.stages.interpret import put_region_table
+
+    region_ref = put_region_table(default_region_dict_path())
+    texts = rd.read_parquet(os.path.join(tiny_data, "addresses.parquet"), columns=["text"])
+    mined = mine_towns(texts, region_ref, concurrency=2).to_pandas()
+    assert len(mined) > 0
+    # promoted ids follow parent*10000+seq (AddressPersister.java:168-199)
+    assert ((mined["id"] // 10000) == mined["parent_id"]).all()
+    # type by suffix: 村 -> 410, 镇/乡 -> 400
+    for _, row in mined.iterrows():
+        assert row["type"] == (410 if row["name"].endswith("村") else 400)
+    # the synthetic rural segments are among the mined names
+    assert any(n.endswith("村") for n in mined["name"])
+
+
+def test_regression_harness(ray_session, tiny_data):
+    from address_semantic_search_ray.pipelines.extras import regression_accuracy
+
+    buckets = regression_accuracy(tiny_data, concurrency=2)
+    row = buckets.iloc[0]
+    total = int(row["hs"] + row["hf"] + row["ls"] + row["lf"] + row["zero"])
+    assert total > 0
+    # linking a labeled variant back to its own corpus: high-sim hits dominate
+    assert row["hs"] / total >= 0.7
+
+
+def test_explain_mode(interpreter):
+    from address_semantic_search_ray.kernel.document import analyse, term_idf_key
+    from address_semantic_search_ray.kernel.similarity import (
+        compute_doc_similarity, compute_idf, find_similar, find_similar_explain,
+        stat_inverse_doc_refers,
+    )
+
+    texts = [
+        "北京北京海淀区万寿路翠微西里13号楼1403室",
+        "北京北京海淀区万寿路翠微北里89号2楼",
+        "北京北京海淀区中关村南大街9号理想大厦",
+    ]
+    addrs = [interpreter.interpret(t) for t in texts]
+    docs = [analyse(a, doc_id=i) for i, a in enumerate(addrs)]
+    idf = compute_idf(len(docs), stat_inverse_doc_refers(docs))
+    for d in docs:
+        for t in d.terms:
+            t.idf = idf.get(term_idf_key(t), 0.0)
+    q = analyse(interpreter.interpret("北京市海淀区万寿路翠微西里13号楼"), idf_lookup=idf, doc_id=-1)
+    explained = find_similar_explain(q, docs, top_n=2)
+    plain = find_similar(q, docs, top_n=2)
+    # same ranking + similarity as the fast path
+    assert [(d, round(s, 12)) for d, s, _ in explained] == \
+        [(d, round(s, 12)) for d, s in plain]
+    # matched-term records carry boost/tfidf; text matches carry coord/density
+    top_matches = explained[0][2]
+    assert any(m["type"] == "X" and m["coord"] > 0 for m in top_matches)
+    assert any(m["type"] == "R" and m["coord"] == -1.0 for m in top_matches)
+    # explain sim equals the scalar kernel
+    assert explained[0][1] == pytest.approx(compute_doc_similarity(q, docs[0]))
+
+
+def test_stringutil_inclusive_edges():
+    # StringUtil.java semantics (inclusive endIndex; begin<=0 passthrough)
+    assert sub_incl("abcdef", 1, 3) == "bcd"
+    assert sub_incl("abcdef", 0, 5) == "abcdef"
+    assert sub_incl("abcdef", -2, 99) == "abcdef"
+    assert sub_incl("abcdef", 4, 2) == ""
+    assert sub_from("abcdef", 0) == "abcdef"
+    assert sub_from("abcdef", -1) == "abcdef"
+    assert sub_from("abcdef", 6) == ""
+    assert head("abc", 5) == "abc"
+    assert head("abc", 0) == ""
+    assert tail("abcdef", 2) == "ef"
+    assert tail("abc", 9) == "abc"
