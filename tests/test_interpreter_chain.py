@@ -145,3 +145,55 @@ def test_simple_segment():
     assert simple_segment("翠微西里12号AB座") == ["翠", "微", "西", "里", "12", "号", "AB", "座"]
     assert simple_segment("") == []
     assert simple_segment("a1b") == ["a", "1", "b"]
+
+
+# Additional full-chain goldens from the reference's testInterpretAddress
+# corpus (AddressInterpretTest.java:108-290; commented-out there because they
+# require DB state, but they hold against the shipped seed data).
+FULL_CHAIN_CASES = [
+    # (text, district_id, residual, road, building_num)
+    ("河北省石家庄市鹿泉市镇宁路贺庄回迁楼1号楼1单元602室", 130185, "贺庄回迁楼", "镇宁路", "1号楼1单元602室"),
+    ("北京北京海淀区北京市海淀区万寿路翠微西里13号楼1403室", 110108, "翠微西里", "万寿路", "13号楼1403室"),
+    ("海南海南省直辖市县定安县见龙大道财政局宿舍楼702", 469025, "财政局宿舍楼702", "见龙大道", None),
+    ("河北石家庄长安区南村镇强镇街51号南村工商管理局", 130102, "南村工商管理局", "强镇街", None),
+]
+
+
+@pytest.mark.parametrize("text,did,residual,road,bldg", FULL_CHAIN_CASES,
+                         ids=[c[0][:10] for c in FULL_CHAIN_CASES])
+def test_full_chain_reference_cases(interpreter, text, did, residual, road, bldg):
+    a = interpreter.interpret(text)
+    assert a.district is not None and a.district.id == did
+    assert a.text == residual
+    if road:
+        assert a.road == road
+    if bldg:
+        assert a.building_num == bldg
+
+
+# interpret + town mining combined (the reference's older full flow; expected
+# values from the same commented-out corpus)
+MINING_CHAIN_CASES = [
+    ("甘肃临夏临夏县先锋乡张梁村史上社17号", "史上社17号", ["先锋乡", "张梁村"]),
+    ("湖南湘潭湘乡市湖南省湘乡市毛田乡崇山村洪家组", "洪家组", ["崇山村"]),
+    ("河南平顶山湛河区平顶山市湛河区曹镇乡焦庄村苗桥", "苗桥", ["焦庄村"]),
+    ("云南文山壮族苗族自治州砚山县盘龙彝族乡盘龙乡白泥井村", "", ["白泥井村"]),
+    ("河北秦皇岛昌黎县昌黎镇秦皇岛市昌黎镇马铁庄村", "", ["马铁庄村"]),
+]
+
+
+@pytest.mark.parametrize("text,exp_text,exp_mined", MINING_CHAIN_CASES,
+                         ids=[c[0][:10] for c in MINING_CHAIN_CASES])
+def test_interpret_plus_mining(interpreter, text, exp_text, exp_mined):
+    a = interpreter.interpret(text)
+    towns: dict = {}
+    interpreter.extract_town_village(a, towns)
+    mined = [n for lst in towns.values() for n in lst]
+    known = []
+    if a.town is not None:
+        known += a.town.ordered_name_and_alias()
+    if a.village is not None:
+        known.append(a.village.name)
+    assert a.text == exp_text
+    for m in exp_mined:
+        assert m in mined or m in known
