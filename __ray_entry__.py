@@ -30,7 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary,
         "topk_orders": q.topk_orders,
         "customer_nation_join": q.customer_nation_join,
-        # stream-shaped windows
+        # stream-shaped windows + temporal joins
+        "asof_join_events_orders": q.asof_join_events_orders,
+        "topk_per_group": q.topk_per_group,
         "events_hourly": q.events_hourly,
         "events_sessionize": q.events_sessionize,
         # dedup family
@@ -88,6 +90,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join_events_orders": """
+            WITH j AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC,
+                                                   o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, o_orderkey FROM j WHERE rn = 1
+            UNION ALL
+            SELECT e.event_id, e.user_id, -1 AS o_orderkey FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.user_id
+                                AND o.o_orderdate <= e.ts)
+        """,
+        "topk_per_group": """
+            WITH r AS (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC,
+                                                   o.o_orderkey DESC) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, o_orderkey, o_totalprice FROM r WHERE rn <= 3
         """,
         "events_sessionize": """
             WITH g AS (

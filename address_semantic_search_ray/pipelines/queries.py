@@ -471,3 +471,71 @@ def region_dic_export(sf_dir: str):
         return df
 
     return distinct.map_batches(add_len, batch_format="pandas")
+
+
+def asof_join_events_orders(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): for each event, the
+    latest order of the same customer placed at-or-before the event time.
+    Shape: co-bucket both sides by key, sort within the bucket, pd.merge_asof
+    per group — partitioning assumption: one key never spans buckets."""
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    # unify both sides into ONE schema before union (mixed-schema blocks break
+    # the grouped pandas view): (side, event_id, o_orderkey, user_id, ts)
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_side": "e", "event_id": df["event_id"].astype("int64"),
+            "o_orderkey": np.int64(-1),
+            "user_id": df["user_id"].astype("int64"), "ts": df["ts"],
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_side": "o", "event_id": np.int64(-1),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "user_id": df["o_custkey"].astype("int64"), "ts": df["o_orderdate"],
+        })
+
+    both = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def asof_group(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == "e"][["event_id", "user_id", "ts"]].sort_values("ts")
+        # secondary sort on o_orderkey: merge_asof takes the LAST row <= key,
+        # so ties on ts resolve to the max order key (deterministic)
+        right = group[group["_side"] == "o"][["o_orderkey", "ts"]] \
+            .sort_values(["ts", "o_orderkey"])
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": np.asarray([], dtype=np.int64),
+                                 "user_id": np.asarray([], dtype=np.int64),
+                                 "o_orderkey": np.asarray([], dtype=np.int64)})
+        merged = pd.merge_asof(left, right, on="ts", direction="backward")
+        merged["o_orderkey"] = merged["o_orderkey"].fillna(-1).astype("int64")
+        merged["event_id"] = merged["event_id"].astype("int64")
+        return merged[["event_id", "user_id", "o_orderkey"]]
+
+    return both.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+
+
+def topk_per_group(sf_dir: str, k: int = 3):
+    """Per-group top-k: the k highest-value orders per customer segment
+    (grouped sort + head, deterministic tie-break on o_orderkey)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust.to_pandas()["c_custkey"], cust.to_pandas()["c_mktsegment"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        return df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    def head_k(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, False], kind="stable").head(k)
+        return g
+
+    return (orders.map_batches(attach, batch_format="pandas")
+            .groupby("c_mktsegment").map_groups(head_k, batch_format="pandas"))
