@@ -1,21 +1,28 @@
 """The flagship Ray-Data KG-construction pipeline (SURVEY.md §3 target lifecycle).
 
+Two modes, byte-identical triples:
+
+``run_kg_pipeline`` (checkpointed/partitioned — the 100 TB-corpus path):
     read_parquet(addresses)   -> map_batches(CorpusInterpretStage, actor pool)
-                              -> doc_vectors/ (hive-partitioned by district_key)
+                              -> doc_vectors/ (hive: bucket=crc32(district)%64)
     doc_vectors               -> partial df combine -> groupby((district,term)).sum
-                              -> idf finalize -> idf/ (hive-partitioned)
-    read_parquet(transcripts) -> map_batches(MentionStage, actor pool)
-                              -> mentions/
-    mentions                  -> groupby(district_key[, salt]).map_groups(linker)
-                              -> links/
-    links                     -> emit triples -> groupby(conv_id).map_groups(
+                              -> idf finalize -> idf/ (bucketed)
+    read_parquet(transcripts) -> map_batches(MentionStage, actor pool) -> mentions/
+    mentions                  -> sort(district_key) -> map_batches(LinkerActor,
+                                 per-actor bucket LRU)  -> links/
+    links                     -> triples -> groupby(conv bucket).map_groups(
                                  stable-sort + dedup)  [K3 + D4]
-    mentions                  -> explode region chain -> groupby((subj,obj)).first
+    mentions                  -> region chain -> groupby(edge bucket) distinct
     both                      -> triples/ Parquet
+
+``run_kg_streaming`` (broadcast-index — when the corpus index fits in worker
+memory, the common case against a 10^12-turn transcript table): corpus index
+built distributed then ray.put; then ONE fused streaming job with no
+mid-pipeline disk (stages/fused.py).
 
 Shuffle keys: (district_key, term_key) for IDF, district_key for linking,
 conv_id for canonicalization — ONE partitioning key reused per concern.
-Every stage boundary is a resumable checkpoint (state/checkpoint.py).
+Every checkpointed stage boundary is resumable (state/checkpoint.py).
 
 Must NOT call ray.init(): the driver/bench owns the session.
 """
