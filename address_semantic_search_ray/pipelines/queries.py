@@ -29,6 +29,21 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read(sf_dir: str, name: str, cols: list[str]):
+    """Pruned parquet read with a metadata-free schema.
+
+    The driver's parquet files carry a ``pandas`` schema-metadata blob that
+    pyarrow 16 fails to hash, which makes Ray Data's block-schema dedup log
+    ``Failed to hash the schemas`` per batch; passing an explicit projected
+    schema strips it at the source."""
+    import pyarrow.parquet as pq
+
+    path = _t(sf_dir, name)
+    full = pq.read_schema(path)
+    schema = pa.schema([pa.field(c, full.field(c).type) for c in cols])
+    return rd.read_parquet(path, columns=cols, schema=schema)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     return float(base[2:]) if base.startswith("sf") else 0.01
@@ -38,9 +53,9 @@ def _sf_of(sf_dir: str) -> float:
 
 def pricing_summary(sf_dir: str):
     """TPC-H-Q1-flavored grouped aggregate with a computed measure."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_returnflag", "l_linestatus", "l_quantity",
-                                  "l_extendedprice", "l_discount"])
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
 
     def add_disc(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(batch.column("l_extendedprice"),
@@ -71,13 +86,13 @@ def pricing_summary(sf_dir: str):
 
 def topk_orders(sf_dir: str):
     """Global top-k: sort + limit with a deterministic tie-break."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
 
 
 def customer_nation_join(sf_dir: str):
     """Broadcast (map-side) join: 25-row nation dim shipped once via ray.put."""
-    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
@@ -86,7 +101,7 @@ def customer_nation_join(sf_dir: str):
         return batch[["n_name", "c_acctbal"]]
 
     out = (
-        rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
         .map_batches(attach, batch_format="pandas")
         .groupby("n_name")
         .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
@@ -104,7 +119,7 @@ def customer_nation_join(sf_dir: str):
 
 def events_hourly(sf_dir: str):
     """Tumbling 1h window per event_type (groupby on derived window key)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def window_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch["hour"] = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
@@ -124,34 +139,50 @@ def events_hourly(sf_dir: str):
     return out.map_batches(round_cols, batch_format="pandas")
 
 
-def events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user via groupby.map_groups
-    over ts-sorted groups — the Ray Data shape for keyed streaming windows."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+def events_sessionize(sf_dir: str, n_buckets: int = 64):
+    """Session windows (30-min inactivity gap) per user.
+
+    Scale shape: ONE groupby on a crc32 user bucket (bounded group count,
+    independent of user cardinality); the per-user session logic runs
+    vectorized inside each bucket — a raw ``groupby(user_id)`` pays the
+    per-group map_groups overhead once per *user*, this pays it once per
+    *bucket*."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": np.asarray([n_sessions], dtype=np.int64)})
+        g = group.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        start = new_user | (g["ts"].diff() > pd.Timedelta(minutes=30))
+        agg = start.groupby(g["user_id"], sort=True).sum()
+        return pd.DataFrame({"user_id": agg.index.to_numpy(),
+                             "n_sessions": agg.to_numpy().astype(np.int64)})
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_b").map_groups(sessions, batch_format="pandas"))
 
 
 # -- dedup -----------------------------------------------------------------
 
 def dedup_exact(sf_dir: str):
-    from ..stages.dedup import exact_dedup_first
-
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.groupby("text").map_groups(exact_dedup_first, batch_format="pandas")
+    """Exact dedup as a pure hash aggregate: ``groupby(text).min(doc_id)`` —
+    no per-group Python call (a ``map_groups(head)`` pays ~5-15 ms per
+    distinct text; the aggregate is one combiner pass per block)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
 def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
+    """Oracle-conformance shape ONLY: all pairs within ``lang`` blocks (~5
+    values), O(n^2) per block — matches the SQL oracle exactly but is NOT the
+    100 TB design. Production near-dup routes through ``dedup_minhash_lsh`` /
+    ``dedup_simhash``, whose shuffle unit is a fixed-width signature row."""
     from ..stages.dedup import wordset_jaccard_pairs
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     return ds.groupby("lang").map_groups(
         lambda g: wordset_jaccard_pairs(g, threshold), batch_format="pandas"
     )
@@ -159,63 +190,121 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
 
 def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     """MinHash+LSH near-dup: signature -> band explode -> bucket groupby ->
-    candidate pairs -> exact-Jaccard verify (shingle sets re-derived from a
-    broadcast of the doc texts: the small side at this scale; at corpus scale
-    the verify becomes a re-join on doc_id)."""
+    candidate pairs -> distributed exact-Jaccard verify.
+
+    Verify is a doc_id re-join, not a driver broadcast of the corpus: only
+    the *candidate* doc ids (bounded by the number of near-dup pairs, tiny
+    next to the corpus) are collected to build a semi-join filter; their
+    texts are then co-grouped with the pair halves by a doc bucket and the
+    pair verdicts by a pair bucket. The full document table never
+    materializes outside the streaming read."""
     from ..stages.dedup import band_candidate_pairs, jaccard, minhash_bands_batch
 
-    docs_tbl = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    _docs_pdf = docs_tbl.to_pandas()
-    texts_ref = ray.put(dict(zip(_docs_pdf["doc_id"], _docs_pdf["text"])))
-
-    bands = docs_tbl.map_batches(minhash_bands_batch, batch_format="pandas")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = docs.map_batches(minhash_bands_batch, batch_format="pandas")
     cands = bands.groupby(["band_id", "band_hash"]).map_groups(
         band_candidate_pairs, batch_format="pandas")
-    # dedup candidate pairs across bands
-    uniq = cands.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # dedup candidate pairs across bands with a hash aggregate (no per-pair
+    # Python group call), then drop the helper count column
+    uniq = (cands.groupby(["doc_id_a", "doc_id_b"])
+            .aggregate(Count(alias_name="_nb")).drop_columns(["_nb"]))
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        jacs = [jaccard(texts[a], texts[b])
-                for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
-        batch = batch.copy()
-        batch["jac"] = np.asarray([round(j, 6) for j in jacs], dtype=np.float64)
-        return batch[batch["jac"] >= verify_threshold]
+    # 1. collect ONLY the candidate ids (the bounded-small side) for the
+    #    semi-join filter; pair rows themselves stay distributed
+    cand_ids: set[int] = set()
+    pair_tbl = []
+    for b in uniq.iter_batches(batch_size=65536, batch_format="pandas"):
+        cand_ids.update(int(x) for x in b["doc_id_a"])
+        cand_ids.update(int(x) for x in b["doc_id_b"])
+        pair_tbl.append(b[["doc_id_a", "doc_id_b"]])
+    if not pair_tbl:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id_a": np.asarray([], dtype=np.int64),
+            "doc_id_b": np.asarray([], dtype=np.int64),
+            "jac": np.asarray([], dtype=np.float64)}))
+    pairs_df = pd.concat(pair_tbl, ignore_index=True)
+    ids_ref = ray.put(frozenset(cand_ids))
+    n_buckets = 32
 
-    return uniq.map_batches(verify, batch_format="pandas")
+    # 2. pair halves: (doc_id, doc_id_a, doc_id_b), two rows per pair
+    halves = pd.DataFrame({
+        "doc_id": np.concatenate([pairs_df["doc_id_a"].to_numpy(),
+                                  pairs_df["doc_id_b"].to_numpy()]).astype(np.int64),
+        "doc_id_a": np.tile(pairs_df["doc_id_a"].to_numpy(), 2).astype(np.int64),
+        "doc_id_b": np.tile(pairs_df["doc_id_b"].to_numpy(), 2).astype(np.int64),
+        "text": "",
+    })
+    halves_ds = rd.from_pandas(halves)
+
+    # 3. semi-join: stream the corpus, keep candidate docs only
+    def filter_docs(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(ids_ref)
+        df = df[df["doc_id"].isin(keep)]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "doc_id_a": np.int64(-1), "doc_id_b": np.int64(-1),
+                             "text": df["text"]})
+
+    texts_ds = docs.map_batches(filter_docs, batch_format="pandas")
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (df["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    def attach_texts(group: pd.DataFrame) -> pd.DataFrame:
+        """One doc bucket: join pair-half rows to their doc's text."""
+        texts = group[group["doc_id_a"] < 0][["doc_id", "text"]]
+        pairs = group[group["doc_id_a"] >= 0][["doc_id", "doc_id_a", "doc_id_b"]]
+        out = pairs.merge(texts, on="doc_id", how="inner")
+        return out[["doc_id", "doc_id_a", "doc_id_b", "text"]]
+
+    joined = (halves_ds.union(texts_ds)
+              .map_batches(add_doc_bucket, batch_format="pandas")
+              .groupby("_b").map_groups(attach_texts, batch_format="pandas"))
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_pb"] = ((df["doc_id_a"].to_numpy() * 31 + df["doc_id_b"].to_numpy())
+                     % n_buckets).astype(np.int64)
+        return df
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, j_out = [], [], []
+        for (a, b), g in group.groupby(["doc_id_a", "doc_id_b"], sort=True):
+            texts = g.sort_values("doc_id")["text"].tolist()
+            if len(texts) != 2:
+                continue  # candidate doc missing from corpus (can't happen)
+            jac = round(jaccard(texts[0], texts[1]), 6)
+            if jac >= verify_threshold:
+                a_out.append(int(a)); b_out.append(int(b)); j_out.append(jac)
+        return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
+                             "doc_id_b": np.asarray(b_out, dtype=np.int64),
+                             "jac": np.asarray(j_out, dtype=np.float64)})
+
+    return (joined.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(verify_bucket, batch_format="pandas"))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    from ..stages.dedup import hamming64, simhash_batch
+    """SimHash near-dup: ONE shuffle instead of four.
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    # consumed once per segment below — pin the small signature table
-    sigs = ds.map_batches(simhash_batch, batch_format="pandas").materialize()
+    The 4x16-bit segments (Hamming<=3 implies one equal segment) are melted
+    into (seg_idx, seg_val) rows so a single groupby covers all four
+    pigeonhole passes; in-bucket Hamming is a vectorized xor/popcount matrix;
+    cross-band pair dedup is a hash aggregate (Min over identical values),
+    not a per-pair ``map_groups``."""
+    from ..stages.dedup import seg_melt_batch, seg_pairs_vec
 
-    def seg_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    d_out.append(d)
-        return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
-                             "doc_id_b": np.asarray(b_out, dtype=np.int64),
-                             "hamming": np.asarray(d_out, dtype=np.int64)})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    from ..stages.dedup import simhash_batch
 
-    # Hamming<=3 over 64 bits => at least one of 4 16-bit segments equal
-    parts = []
-    for seg in range(4):
-        parts.append(sigs.groupby(f"seg{seg}").map_groups(seg_pairs, batch_format="pandas"))
-    allp = parts[0].union(*parts[1:])
-    return allp.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g[["doc_id_a", "doc_id_b", "hamming"]].head(1), batch_format="pandas")
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+    melted = sigs.map_batches(seg_melt_batch, batch_format="pandas")
+    pairs = melted.groupby(["seg_idx", "seg_val"]).map_groups(
+        lambda g: seg_pairs_vec(g, max_hamming), batch_format="pandas")
+    out = pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return out.map_batches(
+        lambda df: df.assign(hamming=df["hamming"].astype(np.int64)),
+        batch_format="pandas")
 
 
 # -- text analysis ---------------------------------------------------------
@@ -223,34 +312,34 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
 def text_token_count(sf_dir: str):
     from ..stages.text import token_count_batch
 
-    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(token_count_batch, batch_format="pandas")
 
 
 def text_quality(sf_dir: str):
     from ..stages.text import quality_batch
 
-    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(quality_batch, batch_format="pandas")
 
 
 def text_lang_id(sf_dir: str):
     from ..stages.text import lang_id_batch
 
-    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(lang_id_batch, batch_format="pandas")
 
 
 def text_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
-    return rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]) \
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fingerprint_batch, batch_format="pandas")
 
 
 def lang_stats(sf_dir: str):
     out = (
-        rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+        _read(sf_dir, "documents", ["lang", "n_chars"])
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
     )
@@ -268,7 +357,7 @@ def lang_stats(sf_dir: str):
 def similarity_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     from ..stages.vector import make_topk_final, make_topk_partial, normalize_rows
 
-    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
     qmat = normalize_rows(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     queries_ref = ray.put({"ids": qdf["vec_id"].to_numpy(), "mat": qmat})
@@ -281,7 +370,7 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
     """LSH-bucketed ANN: probe only the query's bucket (bounded scan)."""
     from ..stages.vector import lsh_bucket_batch_fn, lsh_planes, make_topk_final, normalize_rows
 
-    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
     planes = lsh_planes(dim, n_bits=n_bits)
     bucketed = emb.map_batches(lsh_bucket_batch_fn(planes), batch_format="pandas")
@@ -332,7 +421,7 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
     from ..stages.vector import near_dup_pairs_group
 
-    emb = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     return emb.groupby("label").map_groups(
         lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
 
@@ -342,7 +431,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
 def multimodal_image_meta(sf_dir: str):
     from ..stages.multimodal import ImageDecodeStub, attach_payload_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     with_payload = ds.map_batches(attach_payload_batch, batch_format="pyarrow", batch_size=256)
     return with_payload.map_batches(ImageDecodeStub, batch_format="pyarrow",
                                     batch_size=256, concurrency=2)
@@ -351,7 +440,7 @@ def multimodal_image_meta(sf_dir: str):
 def multimodal_audio_frames(sf_dir: str):
     from ..stages.multimodal import AudioFrameSampleStub, attach_payload_batch
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
     with_payload = ds.map_batches(attach_payload_batch, batch_format="pyarrow", batch_size=256)
     frames = with_payload.map_batches(AudioFrameSampleStub, batch_format="pyarrow",
                                       batch_size=128, concurrency=2)
@@ -463,7 +552,10 @@ def region_dic_export(sf_dir: str):
         return pa.table({"term": pa.concat_arrays([r.combine_chunks(), rn.combine_chunks()])})
 
     terms = names.union(dv.map_batches(roads, batch_format="pyarrow"))
-    distinct = terms.groupby("term").map_groups(lambda g: g.head(1), batch_format="pandas")
+    # distinct as a hash aggregate — a map_groups(head) here is one Python
+    # group call per distinct term (~40k at sf0.01)
+    distinct = (terms.groupby("term").aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"]))
 
     def add_len(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["term"].str.len() > 0].copy()
@@ -478,9 +570,8 @@ def asof_join_events_orders(sf_dir: str):
     latest order of the same customer placed at-or-before the event time.
     Shape: co-bucket both sides by key, sort within the bucket, pd.merge_asof
     per group — partitioning assumption: one key never spans buckets."""
-    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     # unify both sides into ONE schema before union (mixed-schema blocks break
     # the grouped pandas view): (side, event_id, o_orderkey, user_id, ts)
@@ -498,33 +589,44 @@ def asof_join_events_orders(sf_dir: str):
             "user_id": df["o_custkey"].astype("int64"), "ts": df["o_orderdate"],
         })
 
-    both = events.map_batches(tag_events, batch_format="pandas").union(
-        orders.map_batches(tag_orders, batch_format="pandas"))
+    n_buckets = 64
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    both = (events.map_batches(tag_events, batch_format="pandas")
+            .union(orders.map_batches(tag_orders, batch_format="pandas"))
+            .map_batches(add_bucket, batch_format="pandas"))
 
     def asof_group(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["_side"] == "e"][["event_id", "user_id", "ts"]].sort_values("ts")
-        # secondary sort on o_orderkey: merge_asof takes the LAST row <= key,
-        # so ties on ts resolve to the max order key (deterministic)
-        right = group[group["_side"] == "o"][["o_orderkey", "ts"]] \
-            .sort_values(["ts", "o_orderkey"])
+        # one USER bucket (bounded group count at scale, vs one Python group
+        # call per user): merge_asof with by=user_id inside the bucket
+        left = group[group["_side"] == "e"][["event_id", "user_id", "ts"]] \
+            .sort_values("ts", kind="stable")
+        # secondary sort on o_orderkey: merge_asof takes the LAST row <= key
+        # within the by-group, so ties on ts resolve to the max order key
+        right = group[group["_side"] == "o"][["o_orderkey", "user_id", "ts"]] \
+            .sort_values(["ts", "o_orderkey"], kind="stable")
         if len(left) == 0:
             return pd.DataFrame({"event_id": np.asarray([], dtype=np.int64),
                                  "user_id": np.asarray([], dtype=np.int64),
                                  "o_orderkey": np.asarray([], dtype=np.int64)})
-        merged = pd.merge_asof(left, right, on="ts", direction="backward")
+        merged = pd.merge_asof(left, right, on="ts", by="user_id",
+                               direction="backward")
         merged["o_orderkey"] = merged["o_orderkey"].fillna(-1).astype("int64")
         merged["event_id"] = merged["event_id"].astype("int64")
+        merged["user_id"] = merged["user_id"].astype("int64")
         return merged[["event_id", "user_id", "o_orderkey"]]
 
-    return both.groupby("user_id").map_groups(asof_group, batch_format="pandas")
+    return both.groupby("_b").map_groups(asof_group, batch_format="pandas")
 
 
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (grouped sort + head, deterministic tie-break on o_orderkey)."""
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust.to_pandas()["c_custkey"], cust.to_pandas()["c_mktsegment"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:

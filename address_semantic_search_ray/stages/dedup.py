@@ -121,6 +121,44 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def seg_melt_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, simhash, seg0..seg3) -> 4 rows (seg_idx, seg_val, doc_id,
+    simhash): the melt that lets ONE groupby cover all four pigeonhole
+    segment passes (instead of four separate shuffles)."""
+    n = len(batch)
+    ids = batch["doc_id"].to_numpy()
+    sims = batch["simhash"].to_numpy()
+    seg_idx = np.repeat(np.arange(4, dtype=np.int64), n)
+    seg_val = np.concatenate([batch[f"seg{s}"].to_numpy() for s in range(4)])
+    return pd.DataFrame({
+        "seg_idx": seg_idx,
+        "seg_val": seg_val.astype(np.int64),
+        "doc_id": np.tile(ids, 4).astype(np.int64),
+        "simhash": np.tile(sims, 4).astype(np.int64),
+    })
+
+
+def seg_pairs_vec(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """One (seg_idx, seg_val) bucket -> (a<b) pairs with Hamming <= max.
+
+    Vectorized xor/popcount matrix (numpy unpackbits) — no per-pair Python."""
+    g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    ids = g["doc_id"].to_numpy()
+    n = len(ids)
+    if n < 2:
+        return pd.DataFrame({"doc_id_a": np.asarray([], dtype=np.int64),
+                             "doc_id_b": np.asarray([], dtype=np.int64),
+                             "hamming": np.asarray([], dtype=np.int64)})
+    hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    x = hs[:, None] ^ hs[None, :]
+    d = np.unpackbits(x.view(np.uint8)).reshape(n, n, 64).sum(axis=2)
+    iu, ju = np.triu_indices(n, 1)
+    keep = d[iu, ju] <= max_hamming
+    return pd.DataFrame({"doc_id_a": ids[iu[keep]].astype(np.int64),
+                         "doc_id_b": ids[ju[keep]].astype(np.int64),
+                         "hamming": d[iu, ju][keep].astype(np.int64)})
+
+
 # -- word-set Jaccard (SQL-checkable variant) ------------------------------
 
 def wordset_jaccard_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
