@@ -17,6 +17,35 @@ from address_semantic_search_ray.pipelines import queries as q
 
 SF001_SYNTH = "/tmp/asr_synth/sf0.01"  # static path for the sf0.01 correctness run
 SF001_WORK = "/tmp/asr_entry_work/sf0.01"
+SF001_ORACLE = "/tmp/asr_entry_work/sf0.01/oracle"  # naive single-process twins
+
+
+def _lang_id_sql() -> str:
+    """Language-ID as pure SQL: per-language distinct-word/stopword overlap,
+    first strictly-greater max (in sorted lang order) wins, 'unk' when all 0 —
+    exactly the python heuristic in stages/text.py:lang_id_batch."""
+    from address_semantic_search_ray.stages.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n               ".join(
+        "len(list_intersect(w, [{words}])) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang=lang)
+        for lang in langs)
+    best = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    cases = "\n                 ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+                   FROM documents),
+             s AS (SELECT doc_id,
+               {score_cols}
+             FROM t)
+        SELECT doc_id,
+               CASE WHEN {best} = 0 THEN 'unk'
+                 {cases}
+               END AS lang_pred
+        FROM s
+    """
 
 
 def entry() -> Any:
@@ -222,8 +251,70 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{SF001_SYNTH}/transcripts.parquet')
             GROUP BY conv_id
         """,
-        # dedup_minhash_lsh / dedup_simhash / text_lang_id / text_fingerprint /
-        # similarity_topk_lsh / multimodal_audio_frames / kg_triples /
-        # kg_mentions: not SQL-expressible (signature/heuristic/pipeline ops)
-        # -> rows-only driver check; their kernels are pytest-covered.
+        # -- naive-oracle-backed checks (pipelines/naive.py): each parquet
+        # below is recomputed single-process with plain loops when the
+        # matching queries() entry runs at correctness scale; the SQL re-does
+        # the distributable part (pairing, verify, hamming) in DuckDB.
+        "dedup_simhash": f"""
+            WITH s AS (SELECT doc_id, simhash
+                       FROM read_parquet('{SF001_ORACLE}/simhash_sigs.parquet'))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH bands AS (SELECT * FROM
+                               read_parquet('{SF001_ORACLE}/minhash_bands.parquet')),
+                 cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                          FROM bands a JOIN bands b
+                            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                               AND a.doc_id < b.doc_id),
+                 sh AS (SELECT doc_id,
+                               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                                    ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                                        FOR i IN range(1, len(w) - 1)])
+                               END AS s
+                        FROM (SELECT doc_id, string_split(text, ' ') AS w
+                              FROM documents)),
+                 j AS (SELECT c.doc_id_a, c.doc_id_b,
+                              len(list_intersect(sa.s, sb.s))::DOUBLE
+                              / (len(sa.s) + len(sb.s)
+                                 - len(list_intersect(sa.s, sb.s))) AS jac
+                       FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a
+                                   JOIN sh sb ON sb.doc_id = c.doc_id_b)
+            SELECT doc_id_a, doc_id_b, round(jac, 6) AS jac FROM j WHERE jac >= 0.7
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "text_fingerprint": f"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('{SF001_ORACLE}/fingerprints.parquet')
+        """,
+        "similarity_topk_lsh": f"""
+            SELECT query_id, vec_id, cos, rank
+            FROM read_parquet('{SF001_ORACLE}/lsh_topk.parquet')
+        """,
+        "multimodal_audio_frames": """
+            SELECT doc_id,
+                   (greatest(octet_length(encode(text)) - 64, 0) // 128
+                    + 1)::BIGINT AS n_frames
+            FROM documents
+        """,
+        "kg_triples": f"""
+            SELECT subj, pred, obj, conv_id, turn_idx, district_key, score
+            FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+        """,
+        "kg_mentions": f"""
+            SELECT conv_id, turn_idx, mention_idx, role, district_key, town,
+                   village, road, road_num, residual, least_region_id
+            FROM read_parquet('{SF001_ORACLE}/kg_mentions.parquet')
+        """,
+        "town_mining": f"""
+            SELECT id, parent_id, type, name
+            FROM read_parquet('{SF001_ORACLE}/town_mining.parquet')
+        """,
+        "regression_harness": f"""
+            SELECT hs, hf, ls, lf, zero
+            FROM read_parquet('{SF001_ORACLE}/regression.parquet')
+        """,
     }

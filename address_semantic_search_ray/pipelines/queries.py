@@ -49,6 +49,19 @@ def _sf_of(sf_dir: str) -> float:
     return float(base[2:]) if base.startswith("sf") else 0.01
 
 
+
+def _naive_oracle_dir(sf_dir: str):
+    """Oracle output dir for this scale, or None above correctness scale."""
+    from . import naive
+
+    sf = _sf_of(sf_dir)
+    if sf > naive.MAX_NAIVE_SF:
+        return None
+    out = naive.oracle_dir(sf)
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
 # -- relational core -------------------------------------------------------
 
 def pricing_summary(sf_dir: str):
@@ -200,6 +213,11 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     materializes outside the streaming read."""
     from ..stages.dedup import band_candidate_pairs, jaccard, minhash_bands_batch
 
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_minhash_bands(_t(sf_dir, "documents"), out_dir)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = docs.map_batches(minhash_bands_batch, batch_format="pandas")
     cands = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -223,7 +241,7 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
             "doc_id_b": np.asarray([], dtype=np.int64),
             "jac": np.asarray([], dtype=np.float64)}))
     pairs_df = pd.concat(pair_tbl, ignore_index=True)
-    ids_ref = ray.put(frozenset(cand_ids))
+    ids_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
     n_buckets = 32
 
     # 2. pair halves: (doc_id, doc_id_a, doc_id_b), two rows per pair
@@ -236,15 +254,16 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     })
     halves_ds = rd.from_pandas(halves)
 
-    # 3. semi-join: stream the corpus, keep candidate docs only
-    def filter_docs(df: pd.DataFrame) -> pd.DataFrame:
-        keep = ray.get(ids_ref)
-        df = df[df["doc_id"].isin(keep)]
-        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
-                             "doc_id_a": np.int64(-1), "doc_id_b": np.int64(-1),
-                             "text": df["text"]})
+    # 3. semi-join: stream the corpus, keep candidate docs only (arrow-native
+    # so empty filtered blocks don't trip pandas size estimation)
+    def filter_docs(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.is_in(tbl.column("doc_id"), value_set=ray.get(ids_ref)))
+        n = t.num_rows
+        neg = pa.array(np.full(n, -1, dtype=np.int64), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "doc_id_a": neg,
+                         "doc_id_b": neg, "text": t.column("text")})
 
-    texts_ds = docs.map_batches(filter_docs, batch_format="pandas")
+    texts_ds = docs.map_batches(filter_docs, batch_format="pyarrow")
 
     def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["_b"] = (df["doc_id"].to_numpy() % n_buckets).astype(np.int64)
@@ -291,10 +310,14 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     pigeonhole passes; in-bucket Hamming is a vectorized xor/popcount matrix;
     cross-band pair dedup is a hash aggregate (Min over identical values),
     not a per-pair ``map_groups``."""
-    from ..stages.dedup import seg_melt_batch, seg_pairs_vec
+    from ..stages.dedup import seg_melt_batch, seg_pairs_vec, simhash_batch
 
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_simhash_sigs(_t(sf_dir, "documents"), out_dir)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    from ..stages.dedup import simhash_batch
 
     sigs = ds.map_batches(simhash_batch, batch_format="pandas")
     melted = sigs.map_batches(seg_melt_batch, batch_format="pandas")
@@ -333,6 +356,11 @@ def text_lang_id(sf_dir: str):
 def text_fingerprint(sf_dir: str):
     from ..stages.text import fingerprint_batch
 
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_fingerprints(_t(sf_dir, "documents"), out_dir)
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fingerprint_batch, batch_format="pandas")
 
@@ -370,6 +398,12 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
     """LSH-bucketed ANN: probe only the query's bucket (bounded scan)."""
     from ..stages.vector import lsh_bucket_batch_fn, lsh_planes, make_topk_final, normalize_rows
 
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_lsh_topk(_t(sf_dir, "embeddings"), out_dir,
+                             k=k, n_queries=n_queries, n_bits=n_bits)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     dim = len(emb.take(1)[0]["embedding"])
     planes = lsh_planes(dim, n_bits=n_bits)
@@ -459,11 +493,22 @@ def _kg_artifacts(sf_dir: str) -> dict:
     return run_kg_pipeline(data_dir, work, concurrency=4, salt=2)
 
 
+def _ensure_kg_naive(sf_dir: str):
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from ..data.synth import ensure_dataset
+        from . import naive
+
+        naive.write_kg_oracle(ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT), out_dir)
+
+
 def kg_triples(sf_dir: str):
+    _ensure_kg_naive(sf_dir)
     return rd.read_parquet(_kg_artifacts(sf_dir)["triples"])
 
 
 def kg_mentions(sf_dir: str):
+    _ensure_kg_naive(sf_dir)
     res = _kg_artifacts(sf_dir)
     return rd.read_parquet(res["mentions"]).drop_columns(["region_chain"])
 
@@ -512,6 +557,11 @@ def town_mining(sf_dir: str):
     from .oracle import default_region_dict_path
 
     data_dir = ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT)
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_town_mining(data_dir, out_dir)
     region_ref = put_region_table(default_region_dict_path())
     texts = rd.read_parquet(os.path.join(data_dir, "addresses.parquet"), columns=["text"])
     return mine_towns(texts.repartition(8), region_ref, concurrency=4)
@@ -523,6 +573,11 @@ def regression_harness(sf_dir: str):
     from .extras import regression_accuracy
 
     data_dir = ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT)
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_regression(data_dir, out_dir)
     return regression_accuracy(data_dir, concurrency=4)
 
 
