@@ -248,7 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_turn_stats": f"""
             SELECT conv_id, count(*) AS n_turns,
                    min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
-            FROM read_parquet('{SF001_SYNTH}/transcripts.parquet')
+            FROM read_parquet('{SF001_SYNTH}/transcripts.parquet/*.parquet')
             GROUP BY conv_id
         """,
         # -- naive-oracle-backed checks (pipelines/naive.py): each parquet

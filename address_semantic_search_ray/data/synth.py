@@ -260,7 +260,7 @@ def ensure_dataset(sf: float, root: str = "/tmp/asr_synth",
     marker = os.path.join(out, "_SUCCESS")
     n_addr, n_turns = scale_for_sf(sf)
     n_turns = int(n_turns * multiplier)
-    stamp = f"{SEED}:{n_addr}:{n_turns}:v4"
+    stamp = f"{SEED}:{n_addr}:{n_turns}:v5"
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     if region_dict_path is None:
@@ -269,12 +269,34 @@ def ensure_dataset(sf: float, root: str = "/tmp/asr_synth",
     addresses = generate_addresses(rd, n_addr)
     transcripts, truth = generate_transcripts(addresses, n_turns)
     os.makedirs(out, exist_ok=True)
-    # small row groups so Ray can split the read into parallel blocks
-    pq.write_table(addresses, os.path.join(out, "addresses.parquet"), row_group_size=2048)
+    # Tables are DIRECTORIES of part files (the realistic at-scale input
+    # shape): a multi-file read parallelizes across Ray read tasks with no
+    # repartition barrier — a single parquet file reads in ONE serial task
+    # that starves the downstream actor pool for its first ~5 s.
+    _write_parts(addresses, os.path.join(out, "addresses.parquet"),
+                 target_rows=1024)
     _write_regression_csv(addresses, os.path.join(out, "regression.csv"), seed=SEED + 2)
-    # multiple row groups so Ray can split blocks
-    pq.write_table(transcripts, os.path.join(out, "transcripts.parquet"), row_group_size=16384)
+    _write_parts(transcripts, os.path.join(out, "transcripts.parquet"),
+                 target_rows=8192)
     pq.write_table(truth, os.path.join(out, "mentions_truth.parquet"))
     with open(marker, "w") as f:
         f.write(stamp)
     return out
+
+
+def _write_parts(table: pa.Table, dir_path: str, target_rows: int) -> None:
+    """Write a table as dir_path/part-NNNNN.parquet (>= 4 parts)."""
+    import shutil
+
+    if os.path.isfile(dir_path):  # stale single-file layout from v4
+        os.remove(dir_path)
+    shutil.rmtree(dir_path, ignore_errors=True)
+    os.makedirs(dir_path, exist_ok=True)
+    n = table.num_rows
+    n_parts = max(4, min(512, (n + target_rows - 1) // target_rows))
+    per = (n + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        pq.write_table(chunk, os.path.join(dir_path, f"part-{i:05d}.parquet"))

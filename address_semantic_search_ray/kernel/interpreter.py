@@ -103,9 +103,12 @@ class Interpreter:
     Build once per worker (``__init__`` of the actor-pool UDF); ``interpret``
     is called per row with zero allocations beyond the Address itself."""
 
-    def __init__(self, region_dict: RegionDict, ignore_list=None):
+    def __init__(self, region_dict: RegionDict, ignore_list=None,
+                 trie: TermIndex | None = None):
         self.regions = region_dict
-        if ignore_list is None:
+        if trie is not None:
+            self.trie = trie  # prebuilt (e.g. unpickled from a broadcast)
+        elif ignore_list is None:
             self.trie = TermIndex(region_dict)
         else:
             self.trie = TermIndex(region_dict, ignore_list)

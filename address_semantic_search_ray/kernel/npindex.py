@@ -1,0 +1,529 @@
+"""Flat numpy similarity index: the zero-copy, shared-memory corpus index.
+
+Round 1 replicated a Python-object corpus index (``Doc``/``Term`` graphs +
+idf dicts, ~50 MB) into every actor of a 28-actor pool; the measured result
+was LLC/memory-bus saturation and 8->32-CPU scaling efficiency of ~0.5. This
+module re-expresses the whole index as flat numpy arrays so that:
+
+- ``ray.put`` stores ONE copy in plasma and every actor's ``ray.get`` returns
+  read-only zero-copy views — per-node index memory is O(1) in actor count;
+- district scoring runs as vectorized numpy over all docs of the district at
+  once instead of a Python loop per doc (the round-1 wall-time dominator on
+  skewed districts with ~1k docs).
+
+Exact-parity contract: ``score_district`` reproduces
+``similarity.compute_doc_similarity`` (SimilarityComputer.java:456-550 —
+text-term coord/density, per-type boost matrix, asymmetric cosine, RoadNum
+fallback) BIT-FOR-BIT: accumulation follows the same query-term order, the
+same multiplication association, and the same IEEE ops, so pipelines built on
+either kernel emit identical triples (asserted by tests/test_npindex.py).
+
+Term identity is a 64-bit blake2b of the term text (no per-actor vocab
+dict). Build-side collisions across the corpus vocabulary raise; the
+residual risk is a query-only term colliding with a corpus term
+(~V/2^64 per term, negligible and deterministic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .document import MISSING_IDF
+from .roadnum import translate_road_num
+from .segment import simple_segment
+from .types import TermType
+
+# int8 term-type codes for the inverted index
+T_TEXT, T_TOWN, T_VILLAGE, T_ROAD, T_ROAD_NUM = 0, 1, 2, 3, 4
+_TYPE_CODE = {TermType.TEXT: T_TEXT, TermType.TOWN: T_TOWN,
+              TermType.VILLAGE: T_VILLAGE, TermType.ROAD: T_ROAD,
+              TermType.ROAD_NUM: T_ROAD_NUM}
+
+BOOST_M, BOOST_L, BOOST_XL, BOOST_S, BOOST_XS = 1.0, 2.0, 4.0, 0.5, 0.25
+
+
+def term_hash(text: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Concatenate [lo_i, hi_i) ranges in order — a vectorized multi-arange."""
+    lens = (hi - lo).astype(np.int64)
+    mask = lens > 0
+    lo2, lens2 = lo[mask].astype(np.int64), lens[mask]
+    if len(lens2) == 0:
+        return np.empty(0, dtype=np.int64)
+    total = int(lens2.sum())
+    steps = np.ones(total, dtype=np.int64)
+    steps[0] = lo2[0]
+    if len(lens2) > 1:
+        ends = np.cumsum(lens2)[:-1]
+        steps[ends] = lo2[1:] - (lo2[:-1] + lens2[:-1] - 1)
+    return np.cumsum(steps)
+
+
+def _query_terms(town: str, village: str, road: str, road_num: str,
+                 residual: str, segment=simple_segment):
+    """analyse() term order (SimilarityComputer.java:110-159) as plain
+    tuples: (type_code, text). Text tokens deduped against all prior."""
+    terms: list[tuple[int, str]] = []
+    if town:
+        terms.append((T_TOWN, town))
+    if village:
+        terms.append((T_VILLAGE, village))
+    if road:
+        terms.append((T_ROAD, road))
+    if road_num:
+        terms.append((T_ROAD_NUM, road_num))
+    seen = {t for _, t in terms}
+    for tok in (segment(residual) if residual else []):
+        if tok in seen:
+            continue
+        seen.add(tok)
+        terms.append((T_TEXT, tok))
+    return terms
+
+
+class NpCorpusIndex:
+    """District-partitioned CSR similarity index over flat numpy arrays."""
+
+    ARRAY_FIELDS = (
+        "doc_ids", "has_town", "has_village", "town_h", "village_h", "road_h",
+        "has_rn", "rn_value", "rn_idf",
+        "doc_lo", "doc_hi", "inv_lo", "inv_hi", "key_lo", "key_hi",
+        "inv_hash", "inv_doc", "inv_type", "inv_idf", "inv_txtpos",
+        "key_hash", "key_idf",
+    )
+
+    def __init__(self, arrays: dict, district_keys: list[str]):
+        for name in self.ARRAY_FIELDS:
+            setattr(self, name, arrays[name])
+        self.district_keys = district_keys
+        self.district_idx = {k: i for i, k in enumerate(district_keys)}
+        self._views: dict[int, tuple] = {}  # per-district array views (cheap)
+        # reusable per-call scratch (max district size): a fresh ~m-sized
+        # allocation set per query is ~100 KB of page-touch traffic per score
+        # — at 28 actors that is GB/s of pure allocator noise on the bus
+        max_m = int((self.doc_hi - self.doc_lo).max()) if len(self.doc_lo) else 0
+        self._s_qq = np.zeros(max_m, dtype=np.float64)
+        self._s_qd = np.zeros(max_m, dtype=np.float64)
+        self._s_dd = np.zeros(max_m, dtype=np.float64)
+        self._s_cnt = np.zeros(max_m, dtype=np.int64)
+        self._s_min = np.zeros(max_m, dtype=np.int64)
+        self._s_max = np.zeros(max_m, dtype=np.int64)
+        self._s_coord = np.ones(max_m, dtype=np.float64)
+        self._s_dens = np.ones(max_m, dtype=np.float64)
+
+    def _district_views(self, di: int) -> tuple:
+        v = self._views.get(di)
+        if v is None:
+            dlo, dhi = int(self.doc_lo[di]), int(self.doc_hi[di])
+            ilo, ihi = int(self.inv_lo[di]), int(self.inv_hi[di])
+            klo, khi = int(self.key_lo[di]), int(self.key_hi[di])
+            v = (dlo, dhi - dlo,
+                 self.inv_hash[ilo:ihi], self.inv_doc[ilo:ihi],
+                 self.inv_type[ilo:ihi], self.inv_idf[ilo:ihi],
+                 self.inv_txtpos[ilo:ihi],
+                 self.key_hash[klo:khi], self.key_idf[klo:khi],
+                 self.town_h[dlo:dhi], self.village_h[dlo:dhi],
+                 self.road_h[dlo:dhi], self.has_town[dlo:dhi],
+                 self.has_village[dlo:dhi], self.has_rn[dlo:dhi],
+                 self.rn_value[dlo:dhi], self.rn_idf[dlo:dhi])
+            self._views[di] = v
+        return v
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_tables(cls, docs_tbl, idf_tbl, segment=simple_segment) -> "NpCorpusIndex":
+        """Build from the corpus doc-vector table (addr_id, district_key,
+        town, village, road, road_num, residual) + idf table (district_key,
+        term_key, idf). Preserves docs_tbl row order within each district
+        (scoring-order ties follow index insertion order, as in
+        stages.fused.build_index_from_tables)."""
+        idf_by_district: dict[str, dict[str, float]] = {}
+        for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
+                                  idf_tbl.column("term_key").to_pylist(),
+                                  idf_tbl.column("idf").to_pylist()):
+            idf_by_district.setdefault(dist, {})[key] = idf
+
+        # group doc rows by district, preserving row order
+        by_district: dict[str, list[tuple]] = {}
+        for row in zip(docs_tbl.column("addr_id").to_pylist(),
+                       docs_tbl.column("district_key").to_pylist(),
+                       docs_tbl.column("town").to_pylist(),
+                       docs_tbl.column("village").to_pylist(),
+                       docs_tbl.column("road").to_pylist(),
+                       docs_tbl.column("road_num").to_pylist(),
+                       docs_tbl.column("residual").to_pylist()):
+            by_district.setdefault(row[1], []).append(row)
+
+        district_keys = list(by_district)
+        doc_ids, has_town, has_village = [], [], []
+        town_h, village_h, road_h = [], [], []
+        has_rn, rn_value, rn_idf = [], [], []
+        doc_lo, doc_hi, inv_lo, inv_hi, key_lo, key_hi = [], [], [], [], [], []
+        inv_hash, inv_doc, inv_type, inv_idf, inv_txtpos = [], [], [], [], []
+        key_hash_all, key_idf_all = [], []
+        hash_text: dict[int, str] = {}
+
+        def _h(text: str) -> int:
+            h = term_hash(text)
+            prev = hash_text.setdefault(h, text)
+            if prev != text:  # build-side collision: refuse silently-wrong scores
+                raise ValueError(f"64-bit term-hash collision: {prev!r} vs {text!r}")
+            return h
+
+        for dist in district_keys:
+            rows = by_district[dist]
+            idf_map = idf_by_district.get(dist, {})
+            doc_lo.append(len(doc_ids))
+            inv_lo.append(len(inv_hash))
+            key_lo.append(len(key_hash_all))
+            inv_entries = []  # (hash, local_doc, type, idf, txtpos)
+            for local, (addr_id, _d, town, village, road, road_num, residual) in enumerate(rows):
+                doc_ids.append(addr_id)
+                has_town.append(bool(town))
+                has_village.append(bool(village))
+                town_h.append(_h(town) if town else 0)
+                village_h.append(_h(village) if village else 0)
+                road_h.append(_h(road) if road else 0)
+                terms = _query_terms(town, village, road, road_num, residual, segment)
+                rnv = translate_road_num(road_num) if road_num else 0
+                has_rn.append(bool(road_num))
+                rn_value.append(rnv)
+                rn_idf.append(idf_map.get(f"{road}-{rnv}", 0.0) if road_num else 0.0)
+                per_doc: dict[int, list] = {}
+                for pos, (tcode, text) in enumerate(terms):
+                    h = _h(text)
+                    idf_key = f"{road}-{rnv}" if tcode == T_ROAD_NUM else text
+                    idf = idf_map.get(idf_key, 0.0)
+                    ent = per_doc.get(h)
+                    if ent is None:
+                        per_doc[h] = [tcode, idf, pos if tcode == T_TEXT else -1]
+                    else:  # last write wins for type/idf; first TEXT pos kept
+                        ent[0], ent[1] = tcode, idf
+                        if tcode == T_TEXT and ent[2] < 0:
+                            ent[2] = pos
+                for h, (tcode, idf, txtpos) in per_doc.items():
+                    inv_entries.append((h, local, tcode, idf, txtpos))
+            inv_entries.sort(key=lambda e: (e[0], e[1]))
+            for h, local, tcode, idf, txtpos in inv_entries:
+                inv_hash.append(h)
+                inv_doc.append(local)
+                inv_type.append(tcode)
+                inv_idf.append(idf)
+                inv_txtpos.append(txtpos)
+            for key in sorted(idf_map, key=term_hash):
+                key_hash_all.append(term_hash(key))
+                key_idf_all.append(idf_map[key])
+            doc_hi.append(len(doc_ids))
+            inv_hi.append(len(inv_hash))
+            key_hi.append(len(key_hash_all))
+
+        arrays = {
+            "doc_ids": np.asarray(doc_ids, dtype=np.int64),
+            "has_town": np.asarray(has_town, dtype=bool),
+            "has_village": np.asarray(has_village, dtype=bool),
+            "town_h": np.asarray(town_h, dtype=np.uint64),
+            "village_h": np.asarray(village_h, dtype=np.uint64),
+            "road_h": np.asarray(road_h, dtype=np.uint64),
+            "has_rn": np.asarray(has_rn, dtype=bool),
+            "rn_value": np.asarray(rn_value, dtype=np.int64),
+            "rn_idf": np.asarray(rn_idf, dtype=np.float64),
+            "doc_lo": np.asarray(doc_lo, dtype=np.int64),
+            "doc_hi": np.asarray(doc_hi, dtype=np.int64),
+            "inv_lo": np.asarray(inv_lo, dtype=np.int64),
+            "inv_hi": np.asarray(inv_hi, dtype=np.int64),
+            "key_lo": np.asarray(key_lo, dtype=np.int64),
+            "key_hi": np.asarray(key_hi, dtype=np.int64),
+            "inv_hash": np.asarray(inv_hash, dtype=np.uint64),
+            "inv_doc": np.asarray(inv_doc, dtype=np.int64),
+            "inv_type": np.asarray(inv_type, dtype=np.int8),
+            "inv_idf": np.asarray(inv_idf, dtype=np.float64),
+            "inv_txtpos": np.asarray(inv_txtpos, dtype=np.int64),
+            "key_hash": np.asarray(key_hash_all, dtype=np.uint64),
+            "key_idf": np.asarray(key_idf_all, dtype=np.float64),
+        }
+        return cls(arrays, district_keys)
+
+    # -- plasma round-trip -------------------------------------------------
+
+    def to_payload(self) -> dict:
+        """A plain dict of numpy arrays + key list for ``ray.put`` — each
+        array is stored once in the object store; ``ray.get`` in every actor
+        returns read-only zero-copy views of the same shared memory."""
+        payload = {name: getattr(self, name) for name in self.ARRAY_FIELDS}
+        payload["district_keys"] = self.district_keys
+        return payload
+
+    @classmethod
+    def from_payload(cls, payload: dict) -> "NpCorpusIndex":
+        return cls(payload, payload["district_keys"])
+
+    # -- scoring -----------------------------------------------------------
+
+    def has_district(self, district_key: str) -> bool:
+        return district_key in self.district_idx
+
+    def score_district(self, district_key: str, town: str, village: str,
+                       road: str, road_num: str, residual: str,
+                       segment=simple_segment) -> np.ndarray | None:
+        """Similarity of the query against every doc of the district, in
+        index order. Bit-identical to compute_doc_similarity per doc."""
+        di = self.district_idx.get(district_key)
+        if di is None:
+            return None
+        (dlo, m, inv_hash, inv_doc, inv_type, inv_idf, inv_txtpos,
+         key_hash, key_idf, town_hd, village_hd, road_hd, has_town_d,
+         has_village_d, has_rn_d, rnv_d, rn_idf_d) = self._district_views(di)
+
+        terms = _query_terms(town, village, road, road_num, residual, segment)
+        if not terms:
+            return np.zeros(m, dtype=np.float64)
+        q_rnv = translate_road_num(road_num) if road_num else 0
+        # structured terms come first in analyse() order; everything after the
+        # first T_TEXT is T_TEXT — split so the text bulk can be batched while
+        # per-doc float accumulation stays in exact query-term order
+        n_struct = 0
+        while n_struct < len(terms) and terms[n_struct][0] != T_TEXT:
+            n_struct += 1
+        hashes = np.array([term_hash(t) for _, t in terms], dtype=np.uint64)
+        # query-side idf with the MISSING_IDF=4 fallback (document.py:131-133),
+        # one vectorized searchsorted for all terms
+        key_hashes = hashes.copy()
+        for i in range(n_struct):
+            if terms[i][0] == T_ROAD_NUM:
+                key_hashes[i] = term_hash(f"{road}-{q_rnv}")
+        kpos = np.searchsorted(key_hash, key_hashes)
+        kpos_c = np.minimum(kpos, max(len(key_hash) - 1, 0))
+        if len(key_hash):
+            found = key_hash[kpos_c] == key_hashes
+            qidfs = np.where(found, key_idf[kpos_c], MISSING_IDF)
+        else:
+            qidfs = np.full(len(terms), MISSING_IDF)
+
+        lo_all = np.searchsorted(inv_hash, hashes, side="left")
+        hi_all = np.searchsorted(inv_hash, hashes, side="right")
+
+        # -- phase 1: text-term coord/density (java:461-498) ----------------
+        # counts/min/max are associative ints: batch ALL text postings at once
+        q_text_count = len(terms) - n_struct
+        match_count = self._s_cnt[:m]
+        match_count.fill(0)
+        match_min = self._s_min[:m]
+        match_min.fill(np.iinfo(np.int32).max)
+        match_max = self._s_max[:m]
+        match_max.fill(-1)
+        txt_lo, txt_hi = lo_all[n_struct:], hi_all[n_struct:]
+        txt_lens = (txt_hi - txt_lo).astype(np.int64)
+        txt_idx = txt_docs = None
+        if txt_lens.sum() > 0:
+            txt_idx = _concat_ranges(txt_lo, txt_hi)
+            txt_docs = inv_doc[txt_idx]
+            tp = inv_txtpos[txt_idx]
+            sel = tp >= 0
+            d_pos = txt_docs[sel]
+            tpos = tp[sel]
+            match_count += np.bincount(d_pos, minlength=m)
+            np.minimum.at(match_min, d_pos, tpos)
+            np.maximum.at(match_max, d_pos, tpos)
+        coord = self._s_coord[:m]
+        coord.fill(1.0)
+        density = self._s_dens[:m]
+        density.fill(1.0)
+        if q_text_count > 0:
+            np.sqrt(match_count * 1.0 / q_text_count, out=coord)
+            coord *= 0.5
+            coord += 0.5
+        if q_text_count >= 2:
+            dense_sel = match_count >= 2
+            if dense_sel.any():
+                span = (match_max - match_min + 1).astype(np.float64)
+                dens = np.sqrt(match_count * 1.0 / np.where(dense_sel, span, 1.0)) * 0.5 + 0.5
+                np.copyto(density, dens, where=dense_sel)
+
+        # -- phase 2: asymmetric cosine over query terms (java:507-549) -----
+        # Per-doc accumulation strictly in query-term order => the float adds
+        # happen in the same order as the sequential kernel (bit parity).
+        # Structured terms (<=4, they precede all text terms) run one by one;
+        # the text bulk is batched through ONE ordered np.add.at (ufunc.at
+        # applies updates sequentially in index order, preserving term order).
+        sum_qq = self._s_qq[:m]
+        sum_qq.fill(0.0)
+        sum_qd = self._s_qd[:m]
+        sum_qd.fill(0.0)
+        sum_dd = self._s_dd[:m]
+        sum_dd.fill(0.0)
+        q_has_town = bool(town)
+        q_has_village = bool(village)
+        q_has_road = bool(road)
+        road_gate = not q_has_town or not q_has_village
+        q_town_h = np.uint64(term_hash(town)) if town else np.uint64(0)
+        q_village_h = np.uint64(term_hash(village)) if village else np.uint64(0)
+        q_road_h = np.uint64(term_hash(road)) if road else np.uint64(0)
+
+        def _doc_boost(nt_idx, nt_type, rn_idf_override=None):
+            """Doc-side boosts for non-Text matched terms
+            (get_boost_value(True, ...), java:198-255)."""
+            db = np.empty(len(nt_idx), dtype=np.float64)
+            db[nt_type == T_TOWN] = BOOST_L if q_has_town else BOOST_XS
+            vsel = nt_type == T_VILLAGE
+            if vsel.any():
+                vi = nt_idx[vsel]
+                vb = np.full(len(vi), BOOST_XS)
+                if q_has_village and q_has_town:
+                    town_eq = has_town_d[vi] & (town_hd[vi] == q_town_h)
+                    vb = np.where(town_eq,
+                                  np.where(village_hd[vi] == q_village_h,
+                                           BOOST_XL, BOOST_L),
+                                  vb)
+                    vb = np.where(has_town_d[vi] & ~town_eq, BOOST_S, vb)
+                db[vsel] = vb
+            db[nt_type == T_ROAD] = (
+                BOOST_L if (road_gate and q_has_road) else BOOST_M)
+            nsel = nt_type == T_ROAD_NUM
+            if nsel.any():
+                ni = nt_idx[nsel]
+                nb = np.full(len(ni), BOOST_M)
+                if road_gate and q_rnv > 0 and q_has_road:
+                    hit = (rnv_d[ni] > 0) & (road_hd[ni] == q_road_h)
+                    eq = hit & (rnv_d[ni] == q_rnv)
+                    diff = np.abs(q_rnv - rnv_d[ni]).astype(np.float64)
+                    decay = (1.0 / np.sqrt(np.sqrt(diff + 1))) * BOOST_L
+                    nb = np.where(hit, np.where(eq, 3.0, decay), nb)
+                db[nsel] = nb
+            return db
+
+        # ---- structured query terms, in order ----
+        for ti in range(n_struct):
+            tcode = terms[ti][0]
+            qidf = float(qidfs[ti])
+            lo, hi = int(lo_all[ti]), int(hi_all[ti])
+            if tcode == T_TOWN:
+                # a TOWN query term implies qdoc.town; boost hinges on the doc
+                qtf = qidf * np.where(has_town_d, BOOST_L, BOOST_XS)
+            elif tcode == T_VILLAGE:
+                qb = np.full(m, BOOST_XS)
+                if q_has_village and q_has_town:
+                    town_eq = has_town_d & (town_hd == q_town_h)
+                    sub1 = has_village_d & town_eq
+                    qb = np.where(sub1,
+                                  np.where(village_hd == q_village_h, BOOST_XL, BOOST_L),
+                                  qb)
+                    sub2 = has_village_d & has_town_d & ~town_eq
+                    qb = np.where(sub2, BOOST_L, qb)
+                qtf = qidf * qb
+            elif tcode == T_ROAD:
+                if road_gate and q_has_road:
+                    qtf = qidf * np.where(road_hd != 0, BOOST_L, BOOST_M)
+                else:
+                    qtf = np.float64(qidf)  # boost M
+            else:  # T_ROAD_NUM
+                if road_gate and q_rnv > 0 and q_has_road:
+                    hit = (rnv_d > 0) & (road_hd == q_road_h)
+                    qtf = qidf * np.where(hit, 3.0, BOOST_M)
+                else:
+                    qtf = np.float64(qidf)
+            sum_qq += qtf * qtf
+
+            d_idx = None
+            if lo != hi:
+                d_idx = inv_doc[lo:hi]
+                d_type = inv_type[lo:hi]
+                d_idf = inv_idf[lo:hi]
+                dtf = np.empty(len(d_idx), dtype=np.float64)
+                is_text = d_type == T_TEXT
+                if is_text.any():
+                    tt = d_idx[is_text]
+                    dtf[is_text] = d_idf[is_text] * coord[tt] * density[tt]
+                non_text = ~is_text
+                if non_text.any():
+                    dtf[non_text] = d_idf[non_text] * _doc_boost(
+                        d_idx[non_text], d_type[non_text])
+                qtf_at = qtf[d_idx] if isinstance(qtf, np.ndarray) else qtf
+                sum_qd[d_idx] += qtf_at * dtf
+                sum_dd[d_idx] += dtf * dtf
+
+            # RoadNum fallback (java:513-517): unmatched ROAD_NUM query term
+            # scores against the doc's own road_num when the roads agree
+            if tcode == T_ROAD_NUM and q_has_road:
+                fb = has_rn_d & (road_hd == q_road_h)
+                if d_idx is not None:
+                    fb = fb.copy()
+                    fb[d_idx] = False
+                if fb.any():
+                    fi = np.nonzero(fb)[0]
+                    db = np.full(len(fi), BOOST_M)
+                    if road_gate and q_rnv > 0:
+                        hit = rnv_d[fi] > 0  # roads equal by construction
+                        eq = hit & (rnv_d[fi] == q_rnv)
+                        diff = np.abs(q_rnv - rnv_d[fi]).astype(np.float64)
+                        decay = (1.0 / np.sqrt(np.sqrt(diff + 1))) * BOOST_L
+                        db = np.where(hit, np.where(eq, 3.0, decay), db)
+                    dtf = rn_idf_d[fi] * db
+                    qtf_at = qtf[fi] if isinstance(qtf, np.ndarray) else qtf
+                    sum_qd[fi] += qtf_at * dtf
+                    sum_dd[fi] += dtf * dtf
+
+        # ---- text query terms, batched (boost M on the query side) ----
+        # sum_qq: per-term scalar adds, in order (float adds don't reassociate)
+        for ti in range(n_struct, len(terms)):
+            q = float(qidfs[ti])
+            sum_qq += q * q
+        if txt_idx is not None:
+            d_idx = txt_docs
+            d_type = inv_type[txt_idx]
+            d_idf = inv_idf[txt_idx]
+            qtf_e = np.repeat(qidfs[n_struct:], txt_lens)
+            dtf = np.empty(len(txt_idx), dtype=np.float64)
+            is_text = d_type == T_TEXT
+            if is_text.any():
+                tt = d_idx[is_text]
+                dtf[is_text] = d_idf[is_text] * coord[tt] * density[tt]
+            non_text = ~is_text
+            if non_text.any():
+                dtf[non_text] = d_idf[non_text] * _doc_boost(
+                    d_idx[non_text], d_type[non_text])
+            # ufunc.at updates in place sequentially in input (= query-term)
+            # order — bit-identical to the sequential kernel's per-term adds
+            # (a bincount would re-associate: sum from zero, then one add)
+            np.add.at(sum_qd, d_idx, qtf_e * dtf)
+            np.add.at(sum_dd, d_idx, dtf * dtf)
+
+        sims = np.zeros(m, dtype=np.float64)
+        valid = (sum_dd != 0.0) & (sum_qq != 0.0)
+        if valid.any():
+            sims[valid] = sum_qd[valid] / np.sqrt(sum_qq[valid] * sum_dd[valid])
+        return sims  # fresh array: scratch buffers are reused across calls
+
+    def find_similar(self, district_key: str, town: str, village: str,
+                     road: str, road_num: str, residual: str,
+                     top_n: int = 1) -> list[tuple[int, float]]:
+        """Top-N (doc_id, similarity), reproducing TopN min-evict semantics:
+        stable sort desc keeps the earliest doc on ties (similarity.py:175-201
+        equivalence), drops sims <= 0."""
+        sims = self.score_district(district_key, town, village, road,
+                                   road_num, residual)
+        if sims is None or len(sims) == 0:
+            return []
+        di = self.district_idx[district_key]
+        dlo = int(self.doc_lo[di])
+        if top_n == 1:
+            # argmax == the reference's strictly-greater replacement (first
+            # max wins), including the early-exit-at-1.0 case
+            best = int(np.argmax(sims))
+            s = float(sims[best])
+            return [(int(self.doc_ids[dlo + best]), s)] if s > 0 else []
+        # top_n > 1: replicate TopN min-evict (which evicts the FIRST minimal
+        # slot — not equivalent to a stable sort under ties) exactly
+        from .similarity import TopN
+
+        keeper = TopN(top_n)
+        doc_ids = self.doc_ids
+        for i, s in enumerate(sims.tolist()):
+            keeper.add(int(doc_ids[dlo + i]), s)
+        return keeper.sorted_desc()

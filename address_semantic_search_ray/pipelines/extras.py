@@ -88,18 +88,14 @@ class RegressionLinkStage(_RegionStateMixin):
     def __init__(self, region_ref, index_ref, grid_ref):
         import ray as _ray
 
-        self._init_interpreter(region_ref)
-        from ..stages.fused import build_index_from_tables
+        from ..kernel.npindex import NpCorpusIndex
 
-        tables = _ray.get(index_ref)
-        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self._init_interpreter(region_ref)
+        self.np_index = NpCorpusIndex.from_payload(_ray.get(index_ref))
         self.grid_by_addr = _ray.get(grid_ref)
         self._freeze_state()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..kernel.document import doc_from_fields
-        from ..kernel.similarity import find_similar
-
         it = self.interpreter
         orders, grids, linked_grids, sims = [], [], [], []
         for order_no, text, grid in zip(
@@ -111,16 +107,14 @@ class RegressionLinkStage(_RegionStateMixin):
             linked_grid, sim = "", 0.0
             if a is not None and a.province is not None and a.city is not None \
                     and a.district is not None:
-                entry = self.index.get(district_key(a))
-                if entry is not None:
-                    docs, idf = entry
-                    q = doc_from_fields(
-                        -1, a.town.name if a.town else "", a.village.name if a.village else "",
-                        a.road, a.road_num, a.text, idf_lookup=idf)
-                    top = find_similar(q, docs, top_n=1)
-                    if top:
-                        linked_grid = self.grid_by_addr.get(top[0][0], "")
-                        sim = top[0][1]
+                top = self.np_index.find_similar(
+                    district_key(a),
+                    a.town.name if a.town else "",
+                    a.village.name if a.village else "",
+                    a.road, a.road_num, a.text, top_n=1)
+                if top:
+                    linked_grid = self.grid_by_addr.get(top[0][0], "")
+                    sim = top[0][1]
             orders.append(order_no)
             grids.append(grid)
             linked_grids.append(linked_grid)
@@ -156,10 +150,12 @@ def regression_accuracy(data_dir: str, region_dict_path: str | None = None,
                      concurrency=max(2, concurrency // 2))
         .materialize()
     )
+    from ..stages.fused import put_np_index
+
     idf_ds = build_idf(corpus_ds)
     docs_tbl = pa.concat_tables(ray.get(corpus_ds.drop_columns(["term_keys"]).to_arrow_refs()))
     idf_tbl = pa.concat_tables(ray.get(idf_ds.to_arrow_refs()))
-    index_ref = ray.put({"docs": docs_tbl, "idf": idf_tbl})
+    index_ref = put_np_index(docs_tbl, idf_tbl)
 
     addr_tbl = pq.read_table(os.path.join(data_dir, "addresses.parquet"),
                              columns=["addr_id", "grid_id"])

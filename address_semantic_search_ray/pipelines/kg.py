@@ -16,9 +16,11 @@ Two modes, byte-identical triples:
     both                      -> triples/ Parquet
 
 ``run_kg_streaming`` (broadcast-index — when the corpus index fits in worker
-memory, the common case against a 10^12-turn transcript table): corpus index
-built distributed then ray.put; then ONE fused streaming job with no
-mid-pipeline disk (stages/fused.py).
+memory, the common case against a 10^12-turn transcript table): corpus
+interpreted distributed, IDF finalized driver-side (small side by
+definition), flattened to a zero-copy numpy index in plasma
+(kernel/npindex.py — ONE copy per node, not per actor); then ONE fused
+streaming job with no mid-pipeline disk (stages/fused.py).
 
 Shuffle keys: (district_key, term_key) for IDF, district_key for linking,
 conv_id for canonicalization — ONE partitioning key reused per concern.
@@ -203,11 +205,21 @@ def run_kg_streaming(
 
     region_ref = put_region_table(region_dict_path)
 
-    # corpus index: distributed interpret + distributed IDF, then broadcast
-    corpus_conc = max(2, concurrency // 3)
+    # corpus index: distributed interpret over the multi-file corpus read
+    # (no repartition barrier), then ONE flat numpy index in plasma
+    # (zero-copy views in every actor — the index is never replicated per
+    # process). IDF for the broadcast side is finalized driver-side from the
+    # interpreted doc table: the corpus is the SMALL side by definition of
+    # this mode, and a Ray groupby job here costs ~3-4 s of fixed latency at
+    # every scale; the big-corpus path (run_kg_pipeline) keeps the fully
+    # distributed IDF groupby (A1), which kg_idf oracle-checks.
+    from ..stages.fused import put_np_index
+    from ..stages.idf import driver_idf
+
+    corpus_conc = max(2, concurrency // 2)
     corpus_ds = (
-        rd.read_parquet(addresses_path, columns=["addr_id", "text"])
-        .repartition(corpus_conc * 4)
+        rd.read_parquet(addresses_path, columns=["addr_id", "text"],
+                        override_num_blocks=corpus_conc * 4)
         .map_batches(
             CorpusInterpretStage,
             fn_constructor_args=(region_ref,),
@@ -215,17 +227,18 @@ def run_kg_streaming(
             batch_size=batch_size,
             concurrency=corpus_conc,
         )
-        .materialize()
+        .materialize()  # one execution; a bare to_arrow_refs schema-peeks
+        # the plan and runs the whole read+interpret a second time
     )
-    idf_ds = build_idf(corpus_ds)
-    docs_tbl = pa.concat_tables(
-        ray.get(corpus_ds.drop_columns(["term_keys"]).to_arrow_refs()))
-    idf_tbl = pa.concat_tables(ray.get(idf_ds.to_arrow_refs()))
-    index_ref = ray.put({"docs": docs_tbl, "idf": idf_tbl})
+    corpus_tbl = pa.concat_tables(ray.get(corpus_ds.to_arrow_refs()))
+    docs_tbl = corpus_tbl.drop_columns(["term_keys"])
+    idf_tbl = driver_idf(corpus_tbl)
+    index_ref = put_np_index(docs_tbl, idf_tbl)
 
     triples_ds = (
-        rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
-        .repartition(concurrency * 6)
+        rd.read_parquet(transcripts_path,
+                        columns=["conv_id", "turn_idx", "role", "text"],
+                        override_num_blocks=concurrency * 6)
         .map_batches(
             MentionLinkTriplesStage,
             fn_constructor_args=(region_ref, index_ref, top_n),

@@ -42,8 +42,11 @@ def oracle_dir(sf: float) -> str:
 def _fingerprint(*paths: str) -> str:
     parts = []
     for p in paths:
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        files = sorted(
+            os.path.join(p, f) for f in os.listdir(p)) if os.path.isdir(p) else [p]
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.blake2b("|".join(parts).encode(), digest_size=8).hexdigest()
 
 

@@ -2,23 +2,25 @@
 
 When the historical corpus index fits in the object store — and against a
 10^12-turn transcript table the corpus IS the small side — the idiomatic Ray
-Data shape is a broadcast map-side join: the doc-vector + idf tables are
-``ray.put`` once, each actor builds its in-memory district index in
-``__init__``, and mention detection + top-1 linking happen in one pass over
-the transcript stream with NO shuffle at all (no sort, no co-partition).
+Data shape is a broadcast map-side join: the flat numpy similarity index
+(kernel/npindex.py) is ``ray.put`` ONCE; each actor's ``ray.get`` maps the
+same plasma buffers read-only (zero-copy, O(1) index memory per node
+regardless of actor count), and mention detection + top-1 linking happen in
+one pass over the transcript stream with NO shuffle at all (no sort, no
+co-partition).
 
 The checkpointed pipeline (pipelines/kg.py, bucketed partitions + sorted
 actor pool) is the path for when the corpus outgrows worker memory; both
-modes produce byte-identical triples.
+modes produce byte-identical triples (the numpy scorer is bit-equal to the
+sequential kernel — tests/test_npindex.py).
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-from ..kernel.document import doc_from_fields, term_idf_key
 from ..kernel.mentions import district_key, find_mentions
-from ..kernel.similarity import find_similar
+from ..kernel.npindex import NpCorpusIndex
 from .interpret import _RegionStateMixin, _region_ids
 
 FUSED_SCHEMA = pa.schema([
@@ -34,30 +36,15 @@ FUSED_SCHEMA = pa.schema([
 ])
 
 
-def build_index_from_tables(docs_tbl: pa.Table, idf_tbl: pa.Table) -> dict:
-    """{district_key: (docs, idf_map)} with idf stamped (same semantics as
-    stages.link.load_bucket_index, but from in-memory Arrow)."""
-    idf_by_district: dict[str, dict] = {}
-    for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
-                              idf_tbl.column("term_key").to_pylist(),
-                              idf_tbl.column("idf").to_pylist()):
-        idf_by_district.setdefault(dist, {})[key] = idf
-    out: dict[str, tuple[list, dict]] = {}
-    for addr_id, dist, town, village, road, road_num, residual in zip(
-        docs_tbl.column("addr_id").to_pylist(),
-        docs_tbl.column("district_key").to_pylist(),
-        docs_tbl.column("town").to_pylist(),
-        docs_tbl.column("village").to_pylist(),
-        docs_tbl.column("road").to_pylist(),
-        docs_tbl.column("road_num").to_pylist(),
-        docs_tbl.column("residual").to_pylist(),
-    ):
-        d = doc_from_fields(addr_id, town, village, road, road_num, residual)
-        idf = idf_by_district.get(dist, {})
-        for t in d.terms:
-            t.idf = idf.get(term_idf_key(t), 0.0)
-        out.setdefault(dist, ([], idf))[0].append(d)
-    return out
+def put_np_index(docs_tbl: pa.Table, idf_tbl: pa.Table):
+    """Driver-side: build the flat numpy corpus index once and put it in the
+    object store. Every actor's ``ray.get`` maps the SAME plasma buffers
+    read-only (zero-copy) — per-node index memory is O(1) in actor count,
+    which is the round-2 fix for the measured 28-replicas memory-bus
+    saturation (BASELINE.md round-1 scaling analysis)."""
+    import ray
+
+    return ray.put(NpCorpusIndex.from_tables(docs_tbl, idf_tbl).to_payload())
 
 
 class MentionLinkStage(_RegionStateMixin):
@@ -67,8 +54,7 @@ class MentionLinkStage(_RegionStateMixin):
         import ray
 
         self._init_interpreter(region_ref)
-        tables = ray.get(index_ref)
-        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self.np_index = NpCorpusIndex.from_payload(ray.get(index_ref))
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
         self._freeze_state()
@@ -95,14 +81,9 @@ class MentionLinkStage(_RegionStateMixin):
                 if hit is not None:
                     linked, score = hit
                 else:
-                    entry = self.index.get(key)
-                    if entry is not None:
-                        docs, idf = entry
-                        q = doc_from_fields(-1, town, village, a.road, a.road_num,
-                                            a.text, idf_lookup=idf)
-                        top = find_similar(q, docs, top_n=self.top_n)
-                    else:
-                        top = []
+                    top = self.np_index.find_similar(
+                        key, town, village, a.road, a.road_num, a.text,
+                        top_n=self.top_n)
                     linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
                     if len(self._results) > 500_000:
                         self._results.clear()
@@ -132,8 +113,7 @@ class BroadcastLinker:
 
         import ray
 
-        tables = ray.get(index_ref)
-        self.index = build_index_from_tables(tables["docs"], tables["idf"])
+        self.np_index = NpCorpusIndex.from_payload(ray.get(index_ref))
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
         gc.collect()
@@ -154,14 +134,9 @@ class BroadcastLinker:
             if hit is not None:
                 linked, score = hit
             else:
-                entry = self.index.get(key)
-                if entry is not None:
-                    docs, idf = entry
-                    q = doc_from_fields(-1, town, village, road, road_num, residual,
-                                        idf_lookup=idf)
-                    top = find_similar(q, docs, top_n=self.top_n)
-                else:
-                    top = []
+                top = self.np_index.find_similar(
+                    key, town, village, road, road_num, residual,
+                    top_n=self.top_n)
                 linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
                 if len(self._results) > 500_000:
                     self._results.clear()
@@ -255,4 +230,7 @@ def finalize_route_group(group: pa.Table) -> pa.Table:
         df = df.sort_values(["conv_id", "turn_idx", "mention_idx", "_po"], kind="stable")
         df = df.drop_duplicates(["conv_id", "subj", "pred", "obj"], keep="first")
     df = df[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
-    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA, preserve_index=False)
+    # strip the pandas schema-metadata blob (unhashable in pyarrow 16 —
+    # trips Ray's block-schema dedup into per-batch warnings)
+    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA,
+                                preserve_index=False).replace_schema_metadata(None)

@@ -46,6 +46,46 @@ def partial_df_counts(batch: pa.Table) -> pa.Table:
     })
 
 
+def driver_idf(corpus_tbl: pa.Table) -> pa.Table:
+    """(district_key, term_key, idf) computed driver-side from an in-memory
+    corpus doc table (columns district_key, term_keys).
+
+    For the broadcast-index streaming mode the corpus is the SMALL side by
+    definition, and a Ray groupby job costs ~3-4 s of fixed latency at every
+    cluster size; this computes the identical values (same np.log / clamp /
+    forced-2.0 ops as ``build_idf``'s finalize — bit-equal floats) in one
+    in-process pass. The big-corpus checkpointed path keeps ``build_idf``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    counts: Counter = Counter()
+    doc_counts: Counter = Counter()
+    for dist, keys in zip(corpus_tbl.column("district_key").to_pylist(),
+                          corpus_tbl.column("term_keys").to_pylist()):
+        doc_counts[dist] += 1
+        for k in keys:
+            counts[(dist, k)] += 1
+    dists, keys, dfs = [], [], []
+    for (d, k), c in counts.items():
+        dists.append(d)
+        keys.append(k)
+        dfs.append(c)
+    dfs_arr = np.asarray(dfs, dtype=np.float64)
+    n_docs = np.asarray([doc_counts[d] for d in dists], dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        idf = np.log(n_docs / (dfs_arr + 1.0))
+    idf = np.maximum(idf, 0.0)
+    keys_arr = pa.array(keys, pa.string())
+    forced = pc.match_substring_regex(keys_arr, r"^([0-9]+|[A-Za-z]+)$").to_numpy(
+        zero_copy_only=False)
+    idf[forced] = 2.0
+    return pa.table({
+        "district_key": pa.array(dists, pa.string()),
+        "term_key": keys_arr,
+        "idf": pa.array(idf, pa.float64()),
+    })
+
+
 def build_idf(corpus_ds, doc_counts_out: dict | None = None):
     """corpus doc rows -> idf Dataset (district_key, term_key, idf).
 

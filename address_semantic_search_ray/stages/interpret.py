@@ -20,20 +20,31 @@ from ..kernel.regions import RegionDict
 
 
 def put_region_table(region_dict_path: str):
-    """Driver-side: load the region dict parquet and put it in the object store."""
-    import pyarrow.parquet as pq
+    """Driver-side: build the region dict + trie ONCE, put the pickled pair
+    in the object store. Unpickling in each actor (~0.5 s) is 2-3x faster
+    than rebuilding from the arrow table (~1.6 s) — it cuts the actor-pool
+    ramp at every scale, and plasma stores the bytes once per node."""
+    import pickle
+
     import ray
 
-    return ray.put(pq.read_table(region_dict_path))
+    from ..kernel.interpreter import Interpreter
+    from ..kernel.regions import RegionDict
+
+    regions = RegionDict.from_parquet(region_dict_path)
+    trie = Interpreter(regions).trie
+    return ray.put(pickle.dumps((regions, trie), protocol=5))
 
 
 class _RegionStateMixin:
     def _init_interpreter(self, region_ref):
+        import pickle
+
         import ray
 
-        table = ray.get(region_ref) if not isinstance(region_ref, pa.Table) else region_ref
-        self.regions = RegionDict.from_arrow(table)
-        self.interpreter = Interpreter(self.regions)
+        payload = ray.get(region_ref) if not isinstance(region_ref, bytes) else region_ref
+        self.regions, trie = pickle.loads(payload)
+        self.interpreter = Interpreter(self.regions, trie=trie)
 
     def _freeze_state(self):
         """Move the (large, immutable) per-actor state out of GC's reach —

@@ -27,8 +27,7 @@ from collections import OrderedDict
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..kernel.document import doc_from_fields, term_idf_key
-from ..kernel.similarity import find_similar
+from ..kernel.npindex import NpCorpusIndex
 
 DEFAULT_N_BUCKETS = 64
 
@@ -55,36 +54,21 @@ def _read_dir(root: str, bucket: int, columns=None) -> pa.Table | None:
     return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
 
 
-def load_bucket_index(doc_dir: str, idf_dir: str, bucket: int) -> dict:
-    """bucket -> {district_key: (docs, idf_map)} with idf stamped on docs."""
+def load_bucket_index(doc_dir: str, idf_dir: str, bucket: int) -> NpCorpusIndex | None:
+    """bucket -> flat numpy similarity index over the bucket's districts
+    (same vectorized scoring kernel as the broadcast mode — bit-identical
+    to the sequential kernel, so both pipeline modes emit equal triples)."""
     docs_tbl = _read_dir(doc_dir, bucket,
                          columns=["addr_id", "district_key", "town", "village",
                                   "road", "road_num", "residual"])
-    out: dict[str, tuple[list, dict]] = {}
     if docs_tbl is None:
-        return out
+        return None
     idf_tbl = _read_dir(idf_dir, bucket, columns=["district_key", "term_key", "idf"])
-    idf_by_district: dict[str, dict] = {}
-    if idf_tbl is not None:
-        for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
-                                  idf_tbl.column("term_key").to_pylist(),
-                                  idf_tbl.column("idf").to_pylist()):
-            idf_by_district.setdefault(dist, {})[key] = idf
-    for addr_id, dist, town, village, road, road_num, residual in zip(
-        docs_tbl.column("addr_id").to_pylist(),
-        docs_tbl.column("district_key").to_pylist(),
-        docs_tbl.column("town").to_pylist(),
-        docs_tbl.column("village").to_pylist(),
-        docs_tbl.column("road").to_pylist(),
-        docs_tbl.column("road_num").to_pylist(),
-        docs_tbl.column("residual").to_pylist(),
-    ):
-        d = doc_from_fields(addr_id, town, village, road, road_num, residual)
-        idf = idf_by_district.get(dist, {})
-        for t in d.terms:
-            t.idf = idf.get(term_idf_key(t), 0.0)
-        out.setdefault(dist, ([], idf))[0].append(d)
-    return out
+    if idf_tbl is None:
+        idf_tbl = pa.table({"district_key": pa.array([], pa.string()),
+                            "term_key": pa.array([], pa.string()),
+                            "idf": pa.array([], pa.float64())})
+    return NpCorpusIndex.from_tables(docs_tbl, idf_tbl)
 
 
 class LinkerActor:
@@ -97,16 +81,15 @@ class LinkerActor:
         self.top_n = top_n
         self.n_buckets = n_buckets
         self.cache_buckets = cache_buckets
-        self._cache: OrderedDict[int, dict] = OrderedDict()
+        self._cache: OrderedDict[int, NpCorpusIndex | None] = OrderedDict()
         # result memo: repeated query shapes (same fields, same district) are
         # common in conversational data; deterministic, bounded
         self._results: dict[tuple, tuple] = {}
 
     def _bucket_index(self, bucket: int) -> dict:
-        cached = self._cache.get(bucket)
-        if cached is not None:
+        if bucket in self._cache:
             self._cache.move_to_end(bucket)
-            return cached
+            return self._cache[bucket]
         idx = load_bucket_index(self.doc_dir, self.idf_dir, bucket)
         self._cache[bucket] = idx
         if len(self._cache) > self.cache_buckets:
@@ -133,13 +116,10 @@ class LinkerActor:
             if hit is not None:
                 linked, score = hit
             else:
-                entry = self._bucket_index(bucket_of(key, self.n_buckets)).get(key)
-                if entry is not None:
-                    docs, idf = entry
-                    q = doc_from_fields(-1, town, village, road, road_num, residual, idf_lookup=idf)
-                    top = find_similar(q, docs, top_n=self.top_n)
-                else:
-                    top = []
+                idx = self._bucket_index(bucket_of(key, self.n_buckets))
+                top = idx.find_similar(key, town, village, road, road_num,
+                                       residual, top_n=self.top_n) \
+                    if idx is not None else []
                 linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
                 if len(self._results) > 500_000:
                     self._results.clear()

@@ -83,7 +83,8 @@ def canonicalize_conv_group(group: pa.Table) -> pa.Table:
                         kind="stable")
     df = df.drop_duplicates(["conv_id", "subj", "pred", "obj"], keep="first")
     df = df[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
-    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA, preserve_index=False)
+    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA,
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 def add_conv_bucket(batch: pa.Table, n_buckets: int = 256) -> pa.Table:
