@@ -55,11 +55,14 @@ def build_corpus_index(addresses: pa.Table, interpreter: Interpreter):
     texts = addresses.column("text").to_pylist()
     ids = addresses.column("addr_id").to_pylist()
     parts: dict[str, list] = {}
+    from ..stages.interpret import apply_import_caps
+
     for addr_id, text in zip(ids, texts):
         a = interpreter.interpret(text)
         if a is None or a.city is None or a.district is None:
             continue
         a.id = addr_id
+        apply_import_caps(a)  # S5 persist caps (AddressPersister.java:106-115)
         parts.setdefault(district_key(a), []).append(a)
     index = {}
     for key, addrs in parts.items():

@@ -56,6 +56,22 @@ class _RegionStateMixin:
         gc.freeze()
 
 
+# Import-side column caps at the persist boundary (S5): the reference
+# truncates stored address fields before DB insert
+# (persist/AddressPersister.java:106-115): text<=100, road<=8, road_num<=10.
+# Applied identically in the oracle corpus build so both corpora agree.
+IMPORT_CAPS = {"text": 100, "road": 8, "road_num": 10}
+
+
+def apply_import_caps(addr) -> None:
+    if len(addr.text) > IMPORT_CAPS["text"]:
+        addr.text = addr.text[:IMPORT_CAPS["text"]]
+    if len(addr.road) > IMPORT_CAPS["road"]:
+        addr.road = addr.road[:IMPORT_CAPS["road"]]
+    if len(addr.road_num) > IMPORT_CAPS["road_num"]:
+        addr.road_num = addr.road_num[:IMPORT_CAPS["road_num"]]
+
+
 def _region_ids(addr):
     """(least_region_id, hierarchy chain ids root-ward, collapsed)."""
     chain = [addr.village, addr.town, addr.street, addr.district, addr.city, addr.province]
@@ -92,6 +108,7 @@ class CorpusInterpretStage(_RegionStateMixin):
             if a is None or a.city is None or a.district is None:
                 continue
             a.id = addr_id
+            apply_import_caps(a)  # persist-boundary caps (S5)
             doc = analyse(a)
             out["addr_id"].append(addr_id)
             out["district_key"].append(district_key(a))
