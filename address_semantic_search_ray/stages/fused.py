@@ -118,6 +118,7 @@ class BroadcastLinker:
         self._results: dict[tuple, tuple] = {}
         gc.collect()
         gc.freeze()
+        gc.disable()  # see _RegionStateMixin._freeze_state
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         linked_out, score_out = [], []

@@ -82,6 +82,11 @@ class LinkerActor:
         self.n_buckets = n_buckets
         self.cache_buckets = cache_buckets
         self._cache: OrderedDict[int, NpCorpusIndex | None] = OrderedDict()
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.disable()  # see _RegionStateMixin._freeze_state
         # result memo: repeated query shapes (same fields, same district) are
         # common in conversational data; deterministic, bounded
         self._results: dict[tuple, tuple] = {}

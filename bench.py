@@ -128,20 +128,34 @@ def _run_headline_subprocess(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _scaling_pair(lo_cpus: int, hi_cpus: int) -> dict:
+def _scaling_pair(lo_cpus: int, hi_cpus: int, runs: int = 2) -> dict:
     """Same job, same input, two fresh ray.init sizes (the sandbox stand-in
-    for N vs 4N nodes)."""
-    lo, hi = _run_headline_subprocess(lo_cpus), _run_headline_subprocess(hi_cpus)
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    for N vs 4N nodes). Machine-level run-to-run variance here is +-20%, so
+    each size is measured ``runs`` times and the MIN wall time (the
+    least-interference sample, standard benchmarking practice) is used for
+    the efficiency ratio; all samples are reported."""
+    lo_s = [_run_headline_subprocess(lo_cpus)["value"] for _ in range(runs)]
+    hi_s = [_run_headline_subprocess(hi_cpus)["value"] for _ in range(runs)]
+    t_lo, t_hi = min(lo_s), min(hi_s)
+    n_turns = _run_headline_n_turns()
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
         "cpus": [lo_cpus, hi_cpus],
-        "sec": [lo["value"], hi["value"]],
-        "turns_per_sec": [lo["turns_per_sec"], hi["turns_per_sec"]],
+        "sec": [t_lo, t_hi],
+        "sec_samples": [lo_s, hi_s],
+        "turns_per_sec": [round(n_turns / t_lo, 1), round(n_turns / t_hi, 1)],
         "scaling_efficiency": round(eff, 3),
     }
 
 
-def run_scaling(full: bool = False) -> dict:
+def _run_headline_n_turns() -> int:
+    sf = float(os.path.basename(SF_DIR.rstrip("/"))[2:]) \
+        if "sf" in os.path.basename(SF_DIR.rstrip("/")) else 0.1
+    mult = float(os.environ.get("ASR_BENCH_TURNS_MULT", "10"))
+    return int(max(2_000, int(2_000_000 * sf)) * mult)
+
+
+def run_scaling() -> dict:
     # pre-generate the dataset so both runs measure compute, not generation
     sf = float(os.path.basename(SF_DIR.rstrip("/"))[2:]) if "sf" in os.path.basename(SF_DIR.rstrip("/")) else 0.1
     sys.path.insert(0, REPO)
@@ -161,17 +175,14 @@ def run_scaling(full: bool = False) -> dict:
         "scaling_efficiency": pair["scaling_efficiency"],
         "sf": sf,
     }
-    if full:
-        # supplementary low-contention pair (2 -> 8 CPUs): both sizes below
-        # the single-socket memory-bandwidth saturation point, i.e. the
-        # regime a real N -> 4N *node* scale-out stays in (per-node bandwidth
-        # scales with nodes; see BASELINE.md)
-        result["pair_2_8"] = _scaling_pair(2, 8)
+    # NOTE: a 2-CPU lower anchor is not measurable — a 2-actor pool reserves
+    # every CPU and Ray's read tasks starve (see BASELINE.md); the
+    # low-contention evidence is the no-Ray multiprocessing measurement there.
     return result
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(full="--full" in sys.argv)))
+        print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
