@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q.similarity_topk,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "embedding_near_dup": q.embedding_near_dup,
+        "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
         # multimodal plumbing
         "multimodal_image_meta": q.multimodal_image_meta,
         "multimodal_audio_frames": q.multimodal_audio_frames,
@@ -284,6 +285,18 @@ def oracle_sql() -> dict[str, str]:
                        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a
                                    JOIN sh sb ON sb.doc_id = c.doc_id_b)
             SELECT doc_id_a, doc_id_b, round(jac, 6) AS jac FROM j WHERE jac >= 0.7
+        """,
+        "embedding_near_dup_lsh": f"""
+            WITH b AS (SELECT vec_id, bucket
+                       FROM read_parquet('{SF001_ORACLE}/lsh_buckets.parquet')),
+                 n AS (SELECT e.vec_id, b.bucket,
+                              list_transform(e.embedding, x -> x / sqrt(list_sum(
+                                  list_transform(e.embedding, y -> y * y)))) AS e
+                       FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+            SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+                   round(list_dot_product(a.e, c.e), 6) AS cos
+            FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE list_dot_product(a.e, c.e) >= 0.35
         """,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": f"""

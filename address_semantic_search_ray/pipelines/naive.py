@@ -212,6 +212,33 @@ def write_lsh_topk(embeddings_path: str, out_dir: str, k: int = 5,
     _mark(out_dir, "lsh_topk", fp)
 
 
+def write_lsh_buckets(embeddings_path: str, out_dir: str, n_bits: int = 4) -> None:
+    """(vec_id, bucket): per-vector LSH bucket recomputed with a plain loop
+    (plane seed is spec). The SQL oracle joins embeddings on equal buckets
+    and re-does the cosine threshold itself."""
+    fp = _fingerprint(embeddings_path) + f":{n_bits}"
+    if _cached(out_dir, "lsh_buckets", fp):
+        return
+    from ..stages.vector import lsh_planes
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    planes = lsh_planes(len(vecs[0]), n_bits=n_bits)
+    buckets = []
+    for v in vecs:
+        arr = np.asarray(v, dtype=np.float64)
+        b = 0
+        for bit in range(n_bits):
+            if float(arr @ planes[bit]) > 0:
+                b |= 1 << bit
+        buckets.append(b)
+    pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "bucket": pa.array(buckets, pa.int64())}),
+                   os.path.join(out_dir, "lsh_buckets.parquet"))
+    _mark(out_dir, "lsh_buckets", fp)
+
+
 # -- KG / address-kernel operators ------------------------------------------
 
 def write_kg_oracle(data_dir: str, out_dir: str, region_dict_path: str | None = None) -> None:

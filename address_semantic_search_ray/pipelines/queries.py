@@ -453,10 +453,35 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
+    """Oracle-conformance shape (all pairs within ``label`` blocks, O(n^2)
+    per block) — see COVERAGE.md scale-path routing: production near-dup
+    goes through ``embedding_near_dup_lsh``."""
     from ..stages.vector import near_dup_pairs_group
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
     return emb.groupby("label").map_groups(
+        lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35, n_bits: int = 4):
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets the
+    corpus (2^n_bits buckets), all-pairs cosine only WITHIN a bucket — pair
+    work is bounded by bucket size instead of O(n^2) on a low-cardinality
+    label. Recall trade: cross-bucket near-dups are missed (raise recall
+    with more probes/bands); the verified exact twin is
+    ``embedding_near_dup``."""
+    from ..stages.vector import lsh_bucket_batch_fn, lsh_planes, near_dup_pairs_group
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_lsh_buckets(_t(sf_dir, "embeddings"), out_dir, n_bits=n_bits)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(emb.take(1)[0]["embedding"])
+    bucketed = emb.map_batches(lsh_bucket_batch_fn(lsh_planes(dim, n_bits=n_bits)),
+                               batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(
         lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
 
 
