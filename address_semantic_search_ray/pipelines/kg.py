@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 
+import ray
 import ray.data as rd
 
 from ..stages.idf import build_idf
@@ -175,6 +176,40 @@ def run_kg_pipeline(
             "metrics_path": metrics_path}
 
 
+SMALL_CORPUS_OVERLAP_MAX = 40_000  # single-task build stays under the ramp
+
+
+def _count_parquet_rows(path: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def _build_small_corpus_index_impl(addresses_path: str, region_ref):
+    """One-task corpus index build — the exact same per-row code path as the
+    distributed CorpusInterpretStage (same interpreter, caps, idf math), so
+    both paths produce identical indexes; file order matches the Ray read
+    (sorted paths)."""
+    import pyarrow.parquet as pq
+
+    from ..kernel.npindex import NpCorpusIndex
+    from ..stages.idf import driver_idf
+
+    stage = CorpusInterpretStage(region_ref)
+    tbl = pq.read_table(addresses_path, columns=["addr_id", "text"])
+    corpus_tbl = stage(tbl)
+    idf_tbl = driver_idf(corpus_tbl)
+    return NpCorpusIndex.from_tables(
+        corpus_tbl.drop_columns(["term_keys"]), idf_tbl).to_payload()
+
+
+_build_small_corpus_index = ray.remote(_build_small_corpus_index_impl)
+
+
 def run_kg_streaming(
     data_dir: str,
     out_dir: str,
@@ -216,24 +251,35 @@ def run_kg_streaming(
     from ..stages.fused import put_np_index
     from ..stages.idf import driver_idf
 
-    corpus_conc = max(2, concurrency // 2)
-    corpus_ds = (
-        rd.read_parquet(addresses_path, columns=["addr_id", "text"],
-                        override_num_blocks=corpus_conc * 4)
-        .map_batches(
-            CorpusInterpretStage,
-            fn_constructor_args=(region_ref,),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=corpus_conc,
+    n_addresses = _count_parquet_rows(addresses_path)
+    if n_addresses <= SMALL_CORPUS_OVERLAP_MAX:
+        # overlap the index build with the fused job's actor ramp: a single
+        # Ray task builds the whole index and its ObjectRef is handed to the
+        # actor pool IMMEDIATELY — 28 actors unpickle their trie and the
+        # transcript read starts while the corpus interprets, instead of
+        # paying corpus-build + ramp back to back (~5 s of fixed latency at
+        # every cluster size)
+        index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)
+    else:
+        # big corpus: distributed interpret, IDF finalized driver-side
+        corpus_conc = max(2, concurrency // 2)
+        corpus_ds = (
+            rd.read_parquet(addresses_path, columns=["addr_id", "text"],
+                            override_num_blocks=corpus_conc * 4)
+            .map_batches(
+                CorpusInterpretStage,
+                fn_constructor_args=(region_ref,),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=corpus_conc,
+            )
+            .materialize()  # one execution; a bare to_arrow_refs schema-peeks
+            # the plan and runs the whole read+interpret a second time
         )
-        .materialize()  # one execution; a bare to_arrow_refs schema-peeks
-        # the plan and runs the whole read+interpret a second time
-    )
-    corpus_tbl = pa.concat_tables(ray.get(corpus_ds.to_arrow_refs()))
-    docs_tbl = corpus_tbl.drop_columns(["term_keys"])
-    idf_tbl = driver_idf(corpus_tbl)
-    index_ref = put_np_index(docs_tbl, idf_tbl)
+        corpus_tbl = pa.concat_tables(ray.get(corpus_ds.to_arrow_refs()))
+        docs_tbl = corpus_tbl.drop_columns(["term_keys"])
+        idf_tbl = driver_idf(corpus_tbl)
+        index_ref = put_np_index(docs_tbl, idf_tbl)
 
     triples_ds = (
         rd.read_parquet(transcripts_path,

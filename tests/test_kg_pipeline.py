@@ -141,3 +141,17 @@ def test_streaming_mode_matches_checkpointed(ray_session, tiny_data, tmp_path_fa
     a = pq.read_table(res["triples"])
     b = pq.read_table(pipeline_result["triples"])
     assert _triple_set(a) == _triple_set(b)
+
+
+def test_streaming_distributed_corpus_path_matches(ray_session, tiny_data, tmp_path_factory,
+                                                   pipeline_result, monkeypatch):
+    """The big-corpus branch (distributed interpret + driver IDF) must emit
+    the same triples as the small-corpus overlapped single-task branch."""
+    from address_semantic_search_ray.pipelines import kg
+
+    monkeypatch.setattr(kg, "SMALL_CORPUS_OVERLAP_MAX", 0)  # force distributed
+    out = str(tmp_path_factory.mktemp("kgstream_dist"))
+    res = kg.run_kg_streaming(tiny_data, out, concurrency=2)
+    a = pq.read_table(res["triples"])
+    b = pq.read_table(pipeline_result["triples"])
+    assert _triple_set(a) == _triple_set(b)
