@@ -437,12 +437,14 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
             scores = q["mat"][i] @ m.T
             mask = vec_ids != qid
             take = np.argsort(-scores, kind="stable")
+            taken = 0
             for t in take:
                 if mask[t]:
                     out_q.append(qid)
                     out_v.append(int(vec_ids[t]))
                     out_c.append(float(scores[t]))
-                if sum(1 for x in out_q if x == qid) >= k:
+                    taken += 1
+                if taken >= k:
                     break
         return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
                              "vec_id": np.asarray(out_v, dtype=np.int64),
@@ -706,8 +708,8 @@ def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (grouped sort + head, deterministic tie-break on o_orderkey)."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust.to_pandas()["c_custkey"], cust.to_pandas()["c_mktsegment"])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         seg = ray.get(seg_ref)
