@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "similarity_topk": q.similarity_topk,
         "similarity_topk_lsh": q.similarity_topk_lsh,
+        "similarity_topk_ivf": q.similarity_topk_ivf,
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
         # multimodal plumbing
@@ -285,6 +286,28 @@ def oracle_sql() -> dict[str, str]:
                        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_id_a
                                    JOIN sh sb ON sb.doc_id = c.doc_id_b)
             SELECT doc_id_a, doc_id_b, round(jac, 6) AS jac FROM j WHERE jac >= 0.7
+        """,
+        "similarity_topk_ivf": f"""
+            WITH a AS (SELECT vec_id, list_id
+                       FROM read_parquet('{SF001_ORACLE}/ivf_assign.parquet')),
+                 p AS (SELECT query_id, list_id
+                       FROM read_parquet('{SF001_ORACLE}/ivf_probes.parquet')),
+                 n AS (SELECT vec_id,
+                              list_transform(embedding, x -> x / sqrt(list_sum(
+                                  list_transform(embedding, y -> y * y)))) AS e
+                       FROM embeddings),
+                 s AS (SELECT p.query_id, a.vec_id,
+                              list_dot_product(nq.e, nv.e) AS cos
+                       FROM p JOIN a ON a.list_id = p.list_id
+                              JOIN n nv ON nv.vec_id = a.vec_id
+                              JOIN n nq ON nq.vec_id = p.query_id
+                       WHERE a.vec_id <> p.query_id),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+            FROM r WHERE rank <= 5
         """,
         "embedding_near_dup_lsh": f"""
             WITH b AS (SELECT vec_id, bucket

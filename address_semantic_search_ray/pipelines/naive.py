@@ -239,6 +239,56 @@ def write_lsh_buckets(embeddings_path: str, out_dir: str, n_bits: int = 4) -> No
     _mark(out_dir, "lsh_buckets", fp)
 
 
+def write_ivf(embeddings_path: str, out_dir: str, n_queries: int = 5,
+              nlist: int = 16, nprobe: int = 4) -> None:
+    """(vec_id, list_id) inverted-file assignments + (query_id, list_id)
+    probe lists, recomputed with plain loops (the k-means trainer is spec,
+    shared). The SQL oracle joins these and re-does the per-query scan +
+    top-k ranking itself in DuckDB."""
+    fp = _fingerprint(embeddings_path) + f":{n_queries}:{nlist}:{nprobe}"
+    if _cached(out_dir, "ivf_assign", fp) and _cached(out_dir, "ivf_probes", fp):
+        return
+    from ..stages.vector import ivf_train
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    centroids = ivf_train(np.stack(vecs[:4096]), nlist=nlist)
+
+    def _unit(v):
+        n = float(np.linalg.norm(v))
+        return v / (n if n else 1.0)
+
+    assigns = []
+    for v in vecs:
+        u = _unit(v)
+        best, best_s = 0, -2.0
+        for c in range(len(centroids)):
+            s = float(u @ centroids[c])
+            if s > best_s:
+                best, best_s = c, s
+        assigns.append(best)
+    pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64()),
+                             "list_id": pa.array(assigns, pa.int64())}),
+                   os.path.join(out_dir, "ivf_assign.parquet"))
+    _mark(out_dir, "ivf_assign", fp)
+
+    q_rows, l_rows = [], []
+    for vid, v in zip(ids, vecs):
+        if vid >= n_queries:
+            continue
+        u = _unit(v)
+        sims = sorted(((float(u @ centroids[c]), -c) for c in range(len(centroids))),
+                      reverse=True)
+        for s, negc in sims[:nprobe]:
+            q_rows.append(vid)
+            l_rows.append(-negc)
+    pq.write_table(pa.table({"query_id": pa.array(q_rows, pa.int64()),
+                             "list_id": pa.array(l_rows, pa.int64())}),
+                   os.path.join(out_dir, "ivf_probes.parquet"))
+    _mark(out_dir, "ivf_probes", fp)
+
+
 # -- KG / address-kernel operators ------------------------------------------
 
 def write_kg_oracle(data_dir: str, out_dir: str, region_dict_path: str | None = None) -> None:

@@ -454,6 +454,76 @@ def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int
     return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
+def similarity_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
+                        nlist: int = 16, nprobe: int = 4):
+    """IVF ANN: a coarse k-means quantizer partitions the corpus into nlist
+    inverted lists; queries scan only their nprobe nearest lists.
+
+    Scale shape: centroids train on a BOUNDED driver-side sample and
+    broadcast; assignment is one map_batches; the probe scans group by
+    list_id (bounded work per query = nprobe lists) and a tiny per-query
+    reduce merges partials. Recall trade vs the brute-force
+    ``similarity_topk``; the other scale path is ``similarity_topk_lsh``."""
+    from ..stages.vector import (
+        ivf_assign_batch_fn, ivf_probe_lists, ivf_train, make_topk_final,
+        normalize_rows,
+    )
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_ivf(_t(sf_dir, "embeddings"), out_dir,
+                        n_queries=n_queries, nlist=nlist, nprobe=nprobe)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # bounded training sample (full table at correctness scale)
+    sample = np.stack(emb.limit(4096).to_pandas()["embedding"].to_numpy())
+    centroids = ivf_train(sample, nlist=nlist)
+    assigned = emb.map_batches(ivf_assign_batch_fn(centroids), batch_format="pandas")
+
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    probes = ivf_probe_lists(qmat, centroids, nprobe)
+    by_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            by_list.setdefault(int(li), []).append(qi)
+    qref = ray.put({"ids": qdf["vec_id"].to_numpy(), "mat": normalize_rows(qmat),
+                    "by_list": by_list})
+
+    def probe(group: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        li = int(group["list_id"].iloc[0])
+        idxs = q["by_list"].get(li)
+        if not idxs:
+            return pd.DataFrame({"query_id": np.asarray([], dtype=np.int64),
+                                 "vec_id": np.asarray([], dtype=np.int64),
+                                 "cos": np.asarray([], dtype=np.float64)})
+        m = normalize_rows(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        vec_ids = group["vec_id"].to_numpy()
+        out_q, out_v, out_c = [], [], []
+        for qi in idxs:
+            qid = int(q["ids"][qi])
+            scores = q["mat"][qi] @ m.T
+            mask = vec_ids != qid
+            take = np.argsort(-scores, kind="stable")
+            taken = 0
+            for t in take:
+                if mask[t]:
+                    out_q.append(qid)
+                    out_v.append(int(vec_ids[t]))
+                    out_c.append(float(scores[t]))
+                    taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                             "vec_id": np.asarray(out_v, dtype=np.int64),
+                             "cos": np.asarray(out_c, dtype=np.float64)})
+
+    probed = assigned.groupby("list_id").map_groups(probe, batch_format="pandas")
+    return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
     """Oracle-conformance shape (all pairs within ``label`` blocks, O(n^2)
     per block) — see COVERAGE.md scale-path routing: production near-dup

@@ -64,6 +64,50 @@ def make_topk_final(k: int):
     return final
 
 
+# -- IVF (inverted-file) coarse quantizer (scale path #2) -------------------
+
+def ivf_train(mat: np.ndarray, nlist: int = 16, n_iter: int = 10,
+              seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd k-means over L2-normalized vectors (cosine order).
+
+    Trains on whatever sample the caller passes (at corpus scale: a bounded
+    sample, not the full table). Empty clusters keep their previous centroid.
+    Returns (nlist, dim) normalized centroids."""
+    x = normalize_rows(mat.astype(np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    if len(centroids) < nlist:  # tiny corpus: pad by repeating
+        centroids = np.vstack([centroids] * ((nlist // len(centroids)) + 1))[:nlist]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = normalize_rows(centroids)
+    return centroids
+
+
+def ivf_assign_batch_fn(centroids: np.ndarray):
+    """vec -> nearest-centroid list id (max cosine; ties -> lowest id)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = normalize_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        out = batch[["vec_id", "embedding"]].copy()
+        out["list_id"] = np.argmax(m @ centroids.T, axis=1).astype(np.int64)
+        return out
+
+    return fn
+
+
+def ivf_probe_lists(qmat: np.ndarray, centroids: np.ndarray,
+                    nprobe: int) -> np.ndarray:
+    """(n_queries, nprobe) nearest list ids per query, cosine desc then id."""
+    sims = normalize_rows(qmat.astype(np.float64)) @ centroids.T
+    # argsort on (-sim, id): stable sort of -sims gives id-ascending ties
+    return np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+
+
 # -- LSH bucketing (scale path) --------------------------------------------
 
 def lsh_planes(dim: int, n_bits: int = 12, seed: int = 7) -> np.ndarray:

@@ -29,7 +29,8 @@ BENCH_QUERIES = (
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
-    "embedding_near_dup", "embedding_near_dup_lsh", "multimodal_image_meta",
+    "similarity_topk_ivf", "embedding_near_dup", "embedding_near_dup_lsh",
+    "multimodal_image_meta",
 )
 
 
