@@ -142,8 +142,8 @@ class NpCorpusIndex:
         """Build from the corpus doc-vector table (addr_id, district_key,
         town, village, road, road_num, residual) + idf table (district_key,
         term_key, idf). Preserves docs_tbl row order within each district
-        (scoring-order ties follow index insertion order, as in
-        stages.fused.build_index_from_tables)."""
+        (scoring-order ties follow index insertion order, matching the
+        sequential corpus build in pipelines.oracle.build_corpus_index)."""
         idf_by_district: dict[str, dict[str, float]] = {}
         for dist, key, idf in zip(idf_tbl.column("district_key").to_pylist(),
                                   idf_tbl.column("term_key").to_pylist(),
