@@ -137,7 +137,7 @@ def _scaling_pair(lo_cpus: int, hi_cpus: int, runs: int | None = None) -> dict:
     phase, making its ratio fair — and the reported efficiency is the MEDIAN
     of the per-pair ratios. All samples are reported."""
     if runs is None:
-        runs = int(os.environ.get("ASR_BENCH_SCALING_RUNS", "3"))
+        runs = int(os.environ.get("ASR_BENCH_SCALING_RUNS", "2"))
     lo_s, hi_s, effs = [], [], []
     for _ in range(runs):
         lo = _run_headline_subprocess(lo_cpus)["value"]
@@ -145,8 +145,9 @@ def _scaling_pair(lo_cpus: int, hi_cpus: int, runs: int | None = None) -> dict:
         lo_s.append(lo)
         hi_s.append(hi)
         effs.append((lo / hi) / (hi_cpus / lo_cpus))
-    effs_sorted = sorted(effs)
-    median_eff = effs_sorted[len(effs_sorted) // 2]
+    import statistics
+
+    median_eff = statistics.median(effs)
     t_lo, t_hi = min(lo_s), min(hi_s)
     n_turns = _run_headline_n_turns()
     return {
