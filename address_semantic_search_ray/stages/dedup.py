@@ -95,12 +95,14 @@ def jaccard(text_a: str, text_b: str) -> float:
 # -- SimHash ---------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in text.split(" "):
-        h = np.uint64(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+    """64-bit simhash over word hashes — exact integer math, vectorized over
+    ALL words at once (one unpack + sum per doc instead of numpy ops per
+    word; the per-word loop made simhash the slowest bench query)."""
+    words = text.split(" ")
+    hs = np.array([int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                   for w in words], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = 0
     for i in range(64):
         if acc[i] > 0:
