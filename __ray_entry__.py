@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": q.asof_join_events_orders,
         "topk_per_group": q.topk_per_group,
         "events_hourly": q.events_hourly,
+        "events_hopping": q.events_hopping,
         "events_sessionize": q.events_sessionize,
         # dedup family
         "dedup_exact": q.dedup_exact,
@@ -121,6 +122,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            WITH w AS (SELECT event_type, value,
+                              unnest([(epoch_us(ts) // 1000000 // 900 - i) * 900
+                                      FOR i IN [0, 1, 2, 3]]) AS window_start_s
+                       FROM events)
+            SELECT event_type, window_start_s::BIGINT AS window_start_s,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2
         """,
         "asof_join_events_orders": """
             WITH j AS (

@@ -152,6 +152,39 @@ def events_hourly(sf_dir: str):
     return out.map_batches(round_cols, batch_format="pandas")
 
 
+def events_hopping(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) window per event_type: 1h windows every 15min — each
+    event lands in window_s/hop_s = 4 overlapping windows.
+
+    Scale shape: the window explosion is a vectorized map (4x fixed fanout of
+    tiny rows), then ONE hash aggregate on (event_type, window_start) —
+    partials combine per block before the shuffle, same as any groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    n_win = window_s // hop_s
+
+    def explode_windows(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = (us // 1_000_000) // hop_s
+        n = len(df)
+        etype = np.tile(df["event_type"].to_numpy(), n_win)
+        value = np.tile(df["value"].to_numpy(), n_win)
+        starts = np.concatenate([(base - i) * hop_s for i in range(n_win)])
+        return pd.DataFrame({"event_type": etype,
+                             "window_start_s": starts.astype(np.int64),
+                             "value": value})
+
+    out = (ds.map_batches(explode_windows, batch_format="pandas")
+           .groupby(["event_type", "window_start_s"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
 def events_sessionize(sf_dir: str, n_buckets: int = 64):
     """Session windows (30-min inactivity gap) per user.
 

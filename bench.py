@@ -25,7 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # operators timed alongside the headline pipeline (each returns a Dataset)
 BENCH_QUERIES = (
     "pricing_summary", "topk_orders", "topk_per_group", "customer_nation_join",
-    "asof_join_events_orders", "events_hourly",
+    "asof_join_events_orders", "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
