@@ -70,3 +70,39 @@ def regression_lines_batch(batch: pa.Table) -> pa.Table:
 def read_regression_csv(path: str):
     """S3: quoted-CSV regression file -> Dataset(order_no, text, ts, grid_id)."""
     return rd.read_text(path).map_batches(regression_lines_batch, batch_format="pyarrow")
+
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def read_transcripts_jsonl(path: str):
+    """Transcript source from JSONL (one turn object per line) — the common
+    conversational-data interchange format — normalized to the canonical F2
+    schema (conv_id:str, turn_idx:int32, role:str, text:str, tool:str|null,
+    ts:timestamp[us]); missing tool/ts become null, ts accepts ISO-8601
+    strings or epoch microseconds."""
+    import pyarrow.compute as pc
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        def col(name, default_type):
+            if name in batch.column_names:
+                return batch.column(name)
+            return pa.nulls(batch.num_rows, default_type)
+
+        ts = col("ts", pa.timestamp("us"))
+        if pa.types.is_integer(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        elif pa.types.is_string(ts.type):
+            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        elif pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table({
+            "conv_id": col("conv_id", pa.string()).cast(pa.string()),
+            "turn_idx": col("turn_idx", pa.int64()).cast(pa.int32()),
+            "role": col("role", pa.string()).cast(pa.string()),
+            "text": col("text", pa.string()).cast(pa.string()),
+            "tool": col("tool", pa.string()).cast(pa.string()),
+            "ts": ts,
+        })
+
+    return rd.read_json(path).map_batches(normalize, batch_format="pyarrow")

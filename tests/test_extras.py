@@ -131,3 +131,33 @@ def test_stringutil_inclusive_edges():
     assert head("abc", 0) == ""
     assert tail("abcdef", 2) == "ef"
     assert tail("abc", 9) == "abc"
+
+
+def test_jsonl_transcript_reader(ray_session, tmp_path):
+    from address_semantic_search_ray.sources.readers import (
+        TRANSCRIPT_COLUMNS, read_transcripts_jsonl,
+    )
+
+    p = tmp_path / "turns.jsonl"
+    p.write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+        '"text": "请把包裹寄到北京市海淀区中关村大街1号", "ts": "2024-01-01T08:00:00"}\n'
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "好的"}\n',
+        encoding="utf-8")
+    ds = read_transcripts_jsonl(str(p))
+    tbl = ds.take_all()
+    assert len(tbl) == 2
+    assert set(TRANSCRIPT_COLUMNS) <= set(tbl[0].keys())
+    assert tbl[0]["turn_idx"] == 0 and tbl[0]["role"] == "user"
+    assert tbl[1]["tool"] is None and tbl[1]["ts"] is None
+    # the normalized schema feeds the mention stage directly
+    import pyarrow as pa
+
+    from address_semantic_search_ray.pipelines.oracle import default_region_dict_path
+    from address_semantic_search_ray.stages.interpret import MentionStage, put_region_table
+
+    region_ref = put_region_table(default_region_dict_path())
+    out = ds.map_batches(MentionStage, fn_constructor_args=(region_ref,),
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=1).take_all()
+    assert len(out) == 1 and out[0]["district_key"].count("-") == 2
