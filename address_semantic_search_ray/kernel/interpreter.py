@@ -18,7 +18,7 @@ from .division import Division
 from .regions import Region, RegionDict
 from .stringutil import head, java_trim, sub_from, sub_incl, tail
 from .trie import TermIndex
-from .types import RegionType, TermType
+from .types import TermType
 from .visitor import RegionVisitor
 
 # -- patterns (AddressInterpreter.java:34-63) -------------------------------

@@ -22,7 +22,6 @@ import zlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 N_MINHASH = 64
 N_BANDS = 8  # 8 rows per band

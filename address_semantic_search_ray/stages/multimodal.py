@@ -8,7 +8,6 @@ with per-actor setup, small batch sizes for wide rows, metadata-only output.
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 

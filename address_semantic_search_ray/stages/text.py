@@ -12,7 +12,6 @@ import zlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 # minimal per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES = {

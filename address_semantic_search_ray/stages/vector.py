@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 
 def normalize_rows(m: np.ndarray) -> np.ndarray:
