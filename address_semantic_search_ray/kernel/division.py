@@ -29,9 +29,10 @@ class Division:
     def town(self) -> Region | None:
         if self._town is not None:
             return self._town
-        if self.street is None:
+        s = self.street
+        if s is None:
             return None
-        return self.street if self.street.is_town() else None
+        return s if s._is_town else None
 
     @town.setter
     def town(self, value: Region | None):
@@ -46,10 +47,24 @@ class Division:
             self._town = None
 
     def least_region(self) -> Region | None:
-        # Division.java:35-42
-        for r in (self.village, self.town, self.street, self.district, self.city):
-            if r is not None:
-                return r
+        # Division.java:35-42. Reads _town directly: when _town is None the
+        # town property can only return self.street (is_town fallback), and
+        # street is the very next slot checked — same object either way.
+        r = self.village
+        if r is not None:
+            return r
+        r = self._town
+        if r is not None:
+            return r
+        r = self.street
+        if r is not None:
+            return r
+        r = self.district
+        if r is not None:
+            return r
+        r = self.city
+        if r is not None:
+            return r
         return self.province
 
     def copy_from(self, other: "Division"):

@@ -116,7 +116,17 @@ class Interpreter:
 
     # -- full chain (AddressInterpreter.java:256-293) ----------------------
 
-    def interpret(self, address_text: str, visitor: RegionVisitor | None = None) -> Address | None:
+    def interpret(self, address_text: str, visitor: RegionVisitor | None = None,
+                  region_hint: tuple | None = None) -> Address | None:
+        """``region_hint`` (optional) reuses a deep-most scan already run on
+        the RAW text (mentions.find_mentions): ``(province, city, district,
+        street, town, village, end_rel, window)`` where ``window`` is the raw
+        text over ``[0, scan_max_read]`` — every character the scan read. The
+        hint is applied ONLY when the preprocessed text still starts with
+        ``window`` (preprocessing only deletes characters, so an unchanged
+        window means the re-scan would read identical characters, take
+        identical bounds-check branches, and produce the identical division
+        and end position); otherwise the full ``extract_region`` runs."""
         if address_text is None or len(java_trim(address_text)) <= 0:
             return None
         if visitor is None:
@@ -125,7 +135,22 @@ class Interpreter:
         self.extract_building_num(addr)
         self.remove_special_chars(addr)
         brackets = self.extract_brackets(addr)
-        self.extract_region(addr, visitor)
+        hinted = False
+        if region_hint is not None:
+            prov, city, district, street, town_v, village, end_rel, window = region_hint
+            t = addr.text
+            if t.startswith(window):
+                # identical assignment order/setters as extract_region
+                addr.province = prov
+                addr.city = city
+                addr.district = district
+                addr.street = street
+                addr.town = town_v
+                addr.village = village
+                addr.text = sub_from(t, end_rel + 1)
+                hinted = True
+        if not hinted:
+            self.extract_region(addr, visitor)
         self.remove_redundancy(addr, visitor)
         self.extract_road(addr)
         addr.text = _UNIT_SUFFIX1.sub("", addr.text)

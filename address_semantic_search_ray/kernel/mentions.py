@@ -29,8 +29,16 @@ class Mention:
         self.addr = addr
 
 
-def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | None = None) -> list[Mention]:
-    """Scan ``text`` for address mentions; returns interpreted mentions."""
+def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | None = None,
+                  use_hint: bool = True) -> list[Mention]:
+    """Scan ``text`` for address mentions; returns interpreted mentions.
+
+    The deep-most scan that gates each candidate start is handed to
+    ``interpret`` as a region hint (division + end position + the exact
+    window of characters the scan read), so the common case pays ONE trie
+    walk per mention instead of two; ``interpret`` falls back to a full
+    re-scan whenever its preprocessing touched the scanned window
+    (``use_hint=False`` forces the fallback everywhere — test hook)."""
     if not text:
         return []
     if visitor is None:
@@ -55,13 +63,18 @@ def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | 
             i += 1
             continue
         region_end = visitor.result_end_position()  # inclusive, absolute
+        hint = None
+        if use_hint:
+            hint = (div.province, div.city, div.district, div.street,
+                    div.town, div.village, region_end - i,
+                    text[i:visitor.scan_max_read + 1])
         # extend through the residual until a delimiter
         j = region_end + 1
         tail_limit = min(n, j + MAX_TAIL)
         while j < tail_limit and text[j] not in _STOP_CHARS:
             j += 1
         mention_text = text[i:j]
-        addr = interpreter.interpret(mention_text)
+        addr = interpreter.interpret(mention_text, region_hint=hint)
         if addr is not None and addr.city is not None and addr.district is not None:
             mentions.append(Mention(i, j, mention_text, addr))
             i = j

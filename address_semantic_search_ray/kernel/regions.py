@@ -21,7 +21,8 @@ _TERMINAL_TYPES = frozenset(
 
 
 class Region:
-    __slots__ = ("id", "parent_id", "type", "name", "alias", "zip", "children", "_ordered_names")
+    __slots__ = ("id", "parent_id", "type", "name", "alias", "zip", "children",
+                 "_ordered_names", "_is_town")
 
     def __init__(self, id, parent_id, type_, name, alias="", zip_=""):
         self.id = id
@@ -32,16 +33,17 @@ class Region:
         self.zip = zip_ or ""
         self.children = None  # list[Region] | None
         self._ordered_names = None
+        # is_town is a constant of (type, name) — precompute once
+        # (RegionEntity.java:49-59)
+        if self.type == RegionType.TOWN:
+            self._is_town = True
+        elif self.type == RegionType.STREET and name:
+            self._is_town = len(name) <= 4 and name[-1] in ("镇", "乡")
+        else:
+            self._is_town = False
 
     def is_town(self) -> bool:
-        # RegionEntity.java:49-59
-        if self.type == RegionType.TOWN:
-            return True
-        if self.type == RegionType.STREET:
-            if not self.name:
-                return False
-            return len(self.name) <= 4 and self.name[-1] in ("镇", "乡")
-        return False
+        return self._is_town
 
     def ordered_name_and_alias(self) -> list[str]:
         # RegionEntity.java:124-159 — name + ';'-split aliases, stable-sorted by

@@ -61,7 +61,8 @@ DEFAULT_IGNORE_LIST = (
 class TermIndex:
     """Character trie over every region name + alias (+ auto-aliases + ignore list)."""
 
-    __slots__ = ("children", "key_len", "items", "_n_nodes", "first_chars")
+    __slots__ = ("children", "key_len", "items", "_n_nodes", "first_chars",
+                 "node_items")
 
     def __init__(self, region_dict: RegionDict, ignore_list=DEFAULT_IGNORE_LIST):
         self.children: dict[int, int] = {}  # (node<<21)|ord(ch) -> child node id
@@ -76,6 +77,11 @@ class TermIndex:
         self.first_chars = frozenset(
             chr(k & ((1 << _CH_BITS) - 1)) for k in self.children if (k >> _CH_BITS) == 0
         )
+        # flat node-id -> items view (O(1) list index beats a dict probe in
+        # the scan's unwind; ~1 in 2 nodes is terminal so the density is fine)
+        self.node_items: list = [None] * self._n_nodes
+        for nid, its in self.items.items():
+            self.node_items[nid] = its
 
     # -- construction ------------------------------------------------------
 
@@ -139,27 +145,49 @@ class TermIndex:
     # -- search ------------------------------------------------------------
 
     def deep_most_query(self, text: str, pos: int, visitor) -> None:
-        """Longest-match-first DFS from ``pos`` (TermIndexBuilder.java:107-131)."""
+        """Longest-match-first DFS from ``pos`` (TermIndexBuilder.java:107-131).
+
+        Iterative: one greedy descent collects the terminal nodes on the path,
+        then they are visited deepest-first — identical order to the
+        reference's recursion (recurse deeper BEFORE visiting the current
+        node) without a Python frame per character."""
         if not text:
             return
         visitor.start_round()
-        self._deep_first_round(text, pos, 0, visitor)
+        children = self.children
+        node_items = self.node_items
+        n = len(text)
+        # greedy descent from the root at ``pos``; remember item-bearing nodes
+        hits = None
+        node = 0
+        p = pos
+        while p < n:
+            node = children.get((node << _CH_BITS) | ord(text[p]))
+            if node is None:
+                break
+            items = node_items[node]
+            if items is not None:
+                if hits is None:
+                    hits = [(items, node, p)]
+                else:
+                    hits.append((items, node, p))
+            p += 1
+        # read-frontier for region-hint reuse: the descent read text[p]
+        # (the char with no child edge), or up to n-1 if it ran off the end
+        mr = p if p < n else n - 1
+        if mr > visitor.scan_max_read:
+            visitor.scan_max_read = mr
+        if hits is not None:
+            key_len = self.key_len
+            last = n - 1
+            for hi in range(len(hits) - 1, -1, -1):
+                items, entry, epos = hits[hi]
+                if visitor.visit(items, key_len[entry], text, epos):
+                    npos = visitor.position_after_accept_item()
+                    if npos < last:
+                        self.deep_most_query(text, npos + 1, visitor)
+                    visitor.end_visit(key_len[entry], text, npos)
         visitor.end_round()
-
-    def _deep_first_round(self, text: str, pos: int, node: int, visitor) -> None:
-        # node is the PARENT; entry = child at text[pos]
-        entry = self.children.get((node << _CH_BITS) | ord(text[pos]))
-        if entry is None:
-            return
-        if pos + 1 <= len(text) - 1:
-            self._deep_first_round(text, pos + 1, entry, visitor)
-        items = self.items.get(entry)
-        if items:
-            if visitor.visit(items, self.key_len[entry], text, pos):
-                pos = visitor.position_after_accept_item()
-                if pos + 1 <= len(text) - 1:
-                    self.deep_most_query(text, pos + 1, visitor)
-                visitor.end_visit(self.key_len[entry], text, pos)
 
     def has_prefix2(self, text: str, pos: int) -> bool:
         """Cheap guard for mention scanning: does any indexed name start with

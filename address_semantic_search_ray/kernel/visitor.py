@@ -36,7 +36,7 @@ class RegionVisitor:
     __slots__ = (
         "regions", "current_level", "deep_most_level", "current_pos", "deep_most_pos",
         "full_match_count", "deep_most_full_match_count", "deep_most_division", "cur_division",
-        "stack",
+        "stack", "scan_max_read",
     )
 
     def __init__(self, regions: RegionDict):
@@ -52,6 +52,16 @@ class RegionVisitor:
         self.current_level += 1
 
     def visit(self, items, key_len: int, text: str, pos: int) -> bool:
+        # conservative read-frontier tracking: the acceptance cascade and
+        # positioning may read text[pos+1] / text[pos+2] (see interpret's
+        # region-hint reuse in interpreter.py — a scan result is only reused
+        # when the text is unchanged over [0, scan_max_read])
+        mr = pos + 2
+        last = len(text) - 1
+        if mr > last:
+            mr = last
+        if mr > self.scan_max_read:
+            self.scan_max_read = mr
         item = self._find_acceptable_item(items, key_len, text, pos)
         if item is None:
             return False
@@ -99,10 +109,12 @@ class RegionVisitor:
         if street is None:
             cur.street = None
         if town is None:
-            cur.town = None
+            cur._town = None  # == town setter with None
         if village is None:
             cur.village = None
-        if cur.street is not None or cur.town is not None or cur.village is not None:
+        # (town property == _town when street is None; when street is not
+        # None the first disjunct already decides)
+        if cur.street is not None or cur._town is not None or cur.village is not None:
             return
         if least is not None:
             if least.type in (RegionType.PROVINCE, RegionType.PROVINCE_LEVEL_CITY1):
@@ -164,11 +176,12 @@ class RegionVisitor:
 
             # nothing matched yet -> pick the highest level (lowest type value)
             if cur_province is None:
+                rt = region.type  # IntEnum: compares as a plain int
                 if most_priority == -1:
-                    most_priority = int(region.type)
+                    most_priority = rt
                     acceptable = item
-                if int(region.type) < most_priority:
-                    most_priority = int(region.type)
+                if rt < most_priority:
+                    most_priority = rt
                     acceptable = item
                 continue
 
@@ -224,7 +237,9 @@ class RegionVisitor:
                     or (cur.city is not None and cur.city.id == rid)
                     or (cur.district is not None and cur.district.id == rid)
                     or (cur.street is not None and cur.street.id == rid)
-                    or (cur.town is not None and cur.town.id == rid)
+                    # _town: the property's street fallback is subsumed by the
+                    # street check one line up (same region object)
+                    or (cur._town is not None and cur._town.id == rid)
                     or (cur.village is not None and cur.village.id == rid)
                 ):
                     most_priority = 3
@@ -284,7 +299,8 @@ class RegionVisitor:
             or (cur.city is not None and cur.city.id == rid)
             or (cur.district is not None and cur.district.id == rid)
             or (cur.street is not None and cur.street.id == rid)
-            or (cur.town is not None and cur.town.id == rid)
+            # _town: street fallback subsumed by the street check above
+            or (cur._town is not None and cur._town.id == rid)
             or (cur.village is not None and cur.village.id == rid)
         ):
             return
@@ -349,6 +365,7 @@ class RegionVisitor:
         return self.deep_most_division
 
     def reset(self):
+        self.scan_max_read = -1
         self.current_level = 0
         self.deep_most_level = 0
         self.current_pos = -1

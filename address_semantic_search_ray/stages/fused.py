@@ -51,10 +51,14 @@ class MentionLinkStage(_RegionStateMixin):
     """transcripts -> link rows (+ region_chain) in one actor-pool pass."""
 
     def __init__(self, region_ref, index_ref, top_n: int = 1):
-        import ray
-
         self._init_interpreter(region_ref)
-        self.np_index = NpCorpusIndex.from_payload(ray.get(index_ref))
+        if isinstance(index_ref, dict):  # direct payload (tests/microbench)
+            payload = index_ref
+        else:
+            import ray
+
+            payload = ray.get(index_ref)
+        self.np_index = NpCorpusIndex.from_payload(payload)
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
         self._freeze_state()
