@@ -193,11 +193,15 @@ class Interpreter:
         if len(addr.text) <= 0 or addr.province is None or addr.city is None:
             return False
         removed = False
+        scan_if_hits = self.trie.scan_if_hits
         end_index = len(addr.text) - 2
         i = 0
         while i < end_index:
-            visitor.reset()
-            self.trie.deep_most_query(addr.text, i, visitor)
+            # no-hit skip (min_depth=1): a position whose descent bears no
+            # item would have scanned to match_count 0 — behavior-identical
+            if not scan_if_hits(addr.text, i, visitor, 1):
+                i += 1
+                continue
             if visitor.result_match_count() < 2 and visitor.result_full_match_count() < 1:
                 i += 1
                 continue

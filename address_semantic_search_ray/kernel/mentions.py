@@ -44,16 +44,15 @@ def find_mentions(text: str, interpreter: Interpreter, visitor: RegionVisitor | 
     if visitor is None:
         visitor = interpreter.visitor
     trie = interpreter.trie
-    has_prefix2 = trie.has_prefix2
+    scan_if_hits = trie.scan_if_hits
     mentions: list[Mention] = []
     n = len(text)
     i = 0
     while i < n - 2:
-        if not has_prefix2(text, i):
+        # fused gate + scan (min_depth=2 == the old has_prefix2 precondition)
+        if not scan_if_hits(text, i, visitor, 2):
             i += 1
             continue
-        visitor.reset()
-        trie.deep_most_query(text, i, visitor)
         div = visitor.result_division()
         if not (
             visitor.has_result()

@@ -104,6 +104,7 @@ class NpCorpusIndex:
         self.district_keys = district_keys
         self.district_idx = {k: i for i, k in enumerate(district_keys)}
         self._views: dict[int, tuple] = {}  # per-district array views (cheap)
+        self._py_views: dict[int, tuple] = {}  # scalar-path district structs
         # reusable per-call scratch (max district size): a fresh ~m-sized
         # allocation set per query is ~100 KB of page-touch traffic per score
         # — at 28 actors that is GB/s of pure allocator noise on the bus
@@ -269,14 +270,245 @@ class NpCorpusIndex:
     def has_district(self, district_key: str) -> bool:
         return district_key in self.district_idx
 
+    # below this many docs the vectorized path is numpy-call-overhead-bound
+    # (~40 small-kernel launches per query); the scalar path is ~5x faster
+    SMALL_DISTRICT_MAX = 64
+
+    def _district_py(self, di: int):
+        """Lazy Python-native views of one district for the scalar scorer:
+        (m, dmaps, key_idf, town_h, village_h, road_h, has_town, has_village,
+        has_rn, rnv, rn_idf) where dmaps[d] maps term hash -> (type, idf,
+        txtpos). Built once per district per actor; total size is bounded by
+        the (small-side) corpus."""
+        v = self._py_views.get(di)
+        if v is None:
+            dlo, dhi = int(self.doc_lo[di]), int(self.doc_hi[di])
+            m = dhi - dlo
+            ilo, ihi = int(self.inv_lo[di]), int(self.inv_hi[di])
+            klo, khi = int(self.key_lo[di]), int(self.key_hi[di])
+            dmaps = [{} for _ in range(m)]
+            for h, d, tc, idf, tp in zip(
+                self.inv_hash[ilo:ihi].tolist(), self.inv_doc[ilo:ihi].tolist(),
+                self.inv_type[ilo:ihi].tolist(), self.inv_idf[ilo:ihi].tolist(),
+                self.inv_txtpos[ilo:ihi].tolist(),
+            ):
+                dmaps[d][h] = (tc, idf, tp)
+            key_idf = dict(zip(self.key_hash[klo:khi].tolist(),
+                               self.key_idf[klo:khi].tolist()))
+            v = (m, dmaps, key_idf,
+                 self.town_h[dlo:dhi].tolist(), self.village_h[dlo:dhi].tolist(),
+                 self.road_h[dlo:dhi].tolist(), self.has_town[dlo:dhi].tolist(),
+                 self.has_village[dlo:dhi].tolist(), self.has_rn[dlo:dhi].tolist(),
+                 self.rn_value[dlo:dhi].tolist(), self.rn_idf[dlo:dhi].tolist())
+            self._py_views[di] = v
+        return v
+
+    def _score_district_scalar(self, di: int, town: str, village: str,
+                               road: str, road_num: str, residual: str,
+                               segment=simple_segment) -> list:
+        """Scalar twin of the vectorized scorer for small districts.
+
+        Bit-parity argument: float adds into each accumulator (sum_qq,
+        sum_qd, sum_dd) happen in exactly the query-term order the
+        vectorized path uses per doc (accumulators are independent, so
+        interleaving across them is irrelevant); every boost/coord/density
+        formula applies the same IEEE-754 double ops in the same
+        association. Asserted bit-for-bit against the vectorized path AND
+        the sequential kernel by tests/test_npindex*.py."""
+        from math import sqrt
+
+        (m, dmaps, key_idf, town_h, village_h, road_h, has_town_d,
+         has_village_d, has_rn_d, rnv_d, rn_idf_d) = self._district_py(di)
+
+        terms = _query_terms(town, village, road, road_num, residual, segment)
+        if not terms:
+            return [0.0] * m
+        q_rnv = translate_road_num(road_num) if road_num else 0
+        n_terms = len(terms)
+        n_struct = 0
+        while n_struct < n_terms and terms[n_struct][0] != T_TEXT:
+            n_struct += 1
+        q_text_count = n_terms - n_struct
+
+        q_has_town = bool(town)
+        q_has_village = bool(village)
+        q_has_road = bool(road)
+        road_gate = not q_has_town or not q_has_village
+        q_town_h = term_hash(town) if town else 0
+        q_village_h = term_hash(village) if village else 0
+        q_road_h = term_hash(road) if road else 0
+
+        hashes = [term_hash(t) for _, t in terms]
+        qidfs = []
+        for ti in range(n_terms):
+            if ti < n_struct and terms[ti][0] == T_ROAD_NUM:
+                kh = term_hash(f"{road}-{q_rnv}")
+            else:
+                kh = hashes[ti]
+            qidfs.append(key_idf.get(kh, MISSING_IDF))
+
+        int_max = 2147483647  # np.iinfo(int32).max, as in the vectorized path
+        sims = [0.0] * m
+        for d in range(m):
+            dmap = dmaps[d]
+            # -- phase 1: text-term coord/density ---------------------------
+            coord = 1.0
+            density = 1.0
+            if q_text_count > 0:
+                mc = 0
+                mmin = int_max
+                mmax = -1
+                for ti in range(n_struct, n_terms):
+                    ent = dmap.get(hashes[ti])
+                    if ent is not None:
+                        tp = ent[2]
+                        if tp >= 0:
+                            mc += 1
+                            if tp < mmin:
+                                mmin = tp
+                            if tp > mmax:
+                                mmax = tp
+                coord = sqrt(mc * 1.0 / q_text_count) * 0.5 + 0.5
+                if q_text_count >= 2 and mc >= 2:
+                    density = sqrt(mc * 1.0 / (mmax - mmin + 1.0)) * 0.5 + 0.5
+
+            d_has_town = has_town_d[d]
+            d_town_h = town_h[d]
+            d_village_h = village_h[d]
+            d_road_h = road_h[d]
+            d_rnv = rnv_d[d]
+            town_eq = d_has_town and d_town_h == q_town_h
+
+            sum_qq = 0.0
+            sum_qd = 0.0
+            sum_dd = 0.0
+            # -- phase 2: structured query terms, in order ------------------
+            for ti in range(n_struct):
+                tcode = terms[ti][0]
+                qidf = qidfs[ti]
+                if tcode == T_TOWN:
+                    qtf = qidf * (BOOST_L if d_has_town else BOOST_XS)
+                elif tcode == T_VILLAGE:
+                    qb = BOOST_XS
+                    if q_has_village and q_has_town:
+                        if has_village_d[d] and town_eq:
+                            qb = BOOST_XL if d_village_h == q_village_h else BOOST_L
+                        elif has_village_d[d] and d_has_town:
+                            qb = BOOST_L
+                    qtf = qidf * qb
+                elif tcode == T_ROAD:
+                    if road_gate and q_has_road:
+                        qtf = qidf * (BOOST_L if d_road_h != 0 else BOOST_M)
+                    else:
+                        qtf = qidf
+                else:  # T_ROAD_NUM
+                    if road_gate and q_rnv > 0 and q_has_road:
+                        hit = d_rnv > 0 and d_road_h == q_road_h
+                        qtf = qidf * (3.0 if hit else BOOST_M)
+                    else:
+                        qtf = qidf
+                sum_qq += qtf * qtf
+
+                ent = dmap.get(hashes[ti])
+                if ent is not None:
+                    d_type, d_idf, _tp = ent
+                    if d_type == T_TEXT:
+                        dtf = d_idf * coord * density
+                    elif d_type == T_TOWN:
+                        dtf = d_idf * (BOOST_L if q_has_town else BOOST_XS)
+                    elif d_type == T_VILLAGE:
+                        db = BOOST_XS
+                        if q_has_village and q_has_town:
+                            if town_eq:
+                                db = BOOST_XL if d_village_h == q_village_h else BOOST_L
+                            elif d_has_town:
+                                db = BOOST_S
+                        dtf = d_idf * db
+                    elif d_type == T_ROAD:
+                        dtf = d_idf * (BOOST_L if (road_gate and q_has_road) else BOOST_M)
+                    else:  # T_ROAD_NUM
+                        db = BOOST_M
+                        if road_gate and q_rnv > 0 and q_has_road:
+                            if d_rnv > 0 and d_road_h == q_road_h:
+                                if d_rnv == q_rnv:
+                                    db = 3.0
+                                else:
+                                    db = (1.0 / sqrt(sqrt(abs(q_rnv - d_rnv) + 1.0))) * BOOST_L
+                        dtf = d_idf * db
+                    sum_qd += qtf * dtf
+                    sum_dd += dtf * dtf
+                elif tcode == T_ROAD_NUM and q_has_road \
+                        and has_rn_d[d] and d_road_h == q_road_h:
+                    # RoadNum fallback (java:513-517)
+                    db = BOOST_M
+                    if road_gate and q_rnv > 0:
+                        if d_rnv > 0:
+                            if d_rnv == q_rnv:
+                                db = 3.0
+                            else:
+                                db = (1.0 / sqrt(sqrt(abs(q_rnv - d_rnv) + 1.0))) * BOOST_L
+                    dtf = rn_idf_d[d] * db
+                    sum_qd += qtf * dtf
+                    sum_dd += dtf * dtf
+
+            # -- phase 3: text query terms, in order ------------------------
+            for ti in range(n_struct, n_terms):
+                q = qidfs[ti]
+                sum_qq += q * q
+            for ti in range(n_struct, n_terms):
+                ent = dmap.get(hashes[ti])
+                if ent is not None:
+                    d_type, d_idf, _tp = ent
+                    if d_type == T_TEXT:
+                        dtf = d_idf * coord * density
+                    elif d_type == T_TOWN:
+                        dtf = d_idf * (BOOST_L if q_has_town else BOOST_XS)
+                    elif d_type == T_VILLAGE:
+                        db = BOOST_XS
+                        if q_has_village and q_has_town:
+                            if town_eq:
+                                db = BOOST_XL if d_village_h == q_village_h else BOOST_L
+                            elif d_has_town:
+                                db = BOOST_S
+                        dtf = d_idf * db
+                    elif d_type == T_ROAD:
+                        dtf = d_idf * (BOOST_L if (road_gate and q_has_road) else BOOST_M)
+                    else:  # T_ROAD_NUM
+                        db = BOOST_M
+                        if road_gate and q_rnv > 0 and q_has_road:
+                            if d_rnv > 0 and d_road_h == q_road_h:
+                                if d_rnv == q_rnv:
+                                    db = 3.0
+                                else:
+                                    db = (1.0 / sqrt(sqrt(abs(q_rnv - d_rnv) + 1.0))) * BOOST_L
+                        dtf = d_idf * db
+                    qtf = qidfs[ti]
+                    sum_qd += qtf * dtf
+                    sum_dd += dtf * dtf
+
+            if sum_dd != 0.0 and sum_qq != 0.0:
+                sims[d] = sum_qd / sqrt(sum_qq * sum_dd)
+        return sims
+
     def score_district(self, district_key: str, town: str, village: str,
                        road: str, road_num: str, residual: str,
-                       segment=simple_segment) -> np.ndarray | None:
+                       segment=simple_segment) -> np.ndarray | list | None:
         """Similarity of the query against every doc of the district, in
-        index order. Bit-identical to compute_doc_similarity per doc."""
+        index order. Bit-identical to compute_doc_similarity per doc.
+        Small districts take the scalar path (returns a list); large ones
+        the vectorized path (returns an ndarray) — same values bit-for-bit."""
         di = self.district_idx.get(district_key)
         if di is None:
             return None
+        if int(self.doc_hi[di] - self.doc_lo[di]) <= self.SMALL_DISTRICT_MAX:
+            return self._score_district_scalar(di, town, village, road,
+                                               road_num, residual, segment)
+        return self._score_district_vec(di, town, village, road, road_num,
+                                        residual, segment)
+
+    def _score_district_vec(self, di: int, town: str, village: str,
+                            road: str, road_num: str, residual: str,
+                            segment=simple_segment) -> np.ndarray:
         (dlo, m, inv_hash, inv_doc, inv_type, inv_idf, inv_txtpos,
          key_hash, key_idf, town_hd, village_hd, road_hd, has_town_d,
          has_village_d, has_rn_d, rnv_d, rn_idf_d) = self._district_views(di)
@@ -513,10 +745,19 @@ class NpCorpusIndex:
         di = self.district_idx[district_key]
         dlo = int(self.doc_lo[di])
         if top_n == 1:
-            # argmax == the reference's strictly-greater replacement (first
-            # max wins), including the early-exit-at-1.0 case
-            best = int(np.argmax(sims))
-            s = float(sims[best])
+            # first-max wins == the reference's strictly-greater replacement,
+            # including the early-exit-at-1.0 case
+            if isinstance(sims, list):  # scalar (small-district) path
+                best = 0
+                s = sims[0]
+                for i in range(1, len(sims)):
+                    v = sims[i]
+                    if v > s:
+                        s = v
+                        best = i
+            else:
+                best = int(np.argmax(sims))
+                s = float(sims[best])
             return [(int(self.doc_ids[dlo + best]), s)] if s > 0 else []
         # top_n > 1: replicate TopN min-evict (which evicts the FIRST minimal
         # slot — not equivalent to a stable sort under ties) exactly
@@ -524,6 +765,8 @@ class NpCorpusIndex:
 
         keeper = TopN(top_n)
         doc_ids = self.doc_ids
-        for i, s in enumerate(sims.tolist()):
+        if not isinstance(sims, list):
+            sims = sims.tolist()
+        for i, s in enumerate(sims):
             keeper.add(int(doc_ids[dlo + i]), s)
         return keeper.sorted_desc()

@@ -189,6 +189,56 @@ class TermIndex:
                     visitor.end_visit(key_len[entry], text, npos)
         visitor.end_round()
 
+    def scan_if_hits(self, text: str, pos: int, visitor, min_depth: int = 1) -> bool:
+        """Fused gate + deep-most scan: descend once from ``pos``; if the
+        path reaches ``min_depth`` and holds at least one item-bearing node,
+        reset the visitor and run the standard deepest-first rounds over the
+        collected hits (identical to ``visitor.reset()`` +
+        ``deep_most_query``), returning True. Otherwise return False WITHOUT
+        touching the visitor — for a caller that would only have found
+        ``has_result() == False`` / ``result_match_count() == 0``, skipping
+        the reset + round machinery is behavior-identical and much cheaper
+        (most scan positions in free text match nothing).
+
+        ``min_depth=2`` replicates the ``has_prefix2`` precondition used by
+        mention scanning (depth-1 items are visited only when a 2-char
+        descent exists, as before); ``min_depth=1`` is a pure no-hit skip."""
+        children = self.children
+        node_items = self.node_items
+        n = len(text)
+        hits = None
+        node = 0
+        p = pos
+        while p < n:
+            node = children.get((node << _CH_BITS) | ord(text[p]))
+            if node is None:
+                break
+            items = node_items[node]
+            if items is not None:
+                if hits is None:
+                    hits = [(items, node, p)]
+                else:
+                    hits.append((items, node, p))
+            p += 1
+        if hits is None or p - pos < min_depth:
+            return False
+        visitor.reset()
+        visitor.start_round()
+        mr = p if p < n else n - 1
+        if mr > visitor.scan_max_read:
+            visitor.scan_max_read = mr
+        key_len = self.key_len
+        last = n - 1
+        for hi in range(len(hits) - 1, -1, -1):
+            items, entry, epos = hits[hi]
+            if visitor.visit(items, key_len[entry], text, epos):
+                npos = visitor.position_after_accept_item()
+                if npos < last:
+                    self.deep_most_query(text, npos + 1, visitor)
+                visitor.end_visit(key_len[entry], text, npos)
+        visitor.end_round()
+        return True
+
     def has_prefix2(self, text: str, pos: int) -> bool:
         """Cheap guard for mention scanning: does any indexed name start with
         text[pos:pos+2]? (All region names are >= 2 chars, so a position that

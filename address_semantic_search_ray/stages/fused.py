@@ -63,9 +63,23 @@ class MentionLinkStage(_RegionStateMixin):
         self._results: dict[tuple, tuple] = {}
         self._freeze_state()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _link_rows(self, batch: pa.Table) -> dict[str, list]:
+        """One pass: detect + link; returns plain column lists (FUSED_SCHEMA
+        order) so subclasses can consume them without an Arrow round-trip."""
         it = self.interpreter
+        results = self._results
+        find = self.np_index.find_similar
+        top_n = self.top_n
         out = {name: [] for name in FUSED_SCHEMA.names}
+        o_conv = out["conv_id"].append
+        o_turn = out["turn_idx"].append
+        o_mi = out["mention_idx"].append
+        o_role = out["role"].append
+        o_key = out["district_key"].append
+        o_least = out["least_region_id"].append
+        o_linked = out["linked_addr"].append
+        o_score = out["score"].append
+        o_chain = out["region_chain"].append
         for conv_id, turn_idx, role, text in zip(
             batch.column("conv_id").to_pylist(),
             batch.column("turn_idx").to_pylist(),
@@ -81,26 +95,29 @@ class MentionLinkStage(_RegionStateMixin):
                 town = a.town.name if a.town is not None else ""
                 village = a.village.name if a.village is not None else ""
                 memo_key = (key, town, village, a.road, a.road_num, a.text)
-                hit = self._results.get(memo_key)
+                hit = results.get(memo_key)
                 if hit is not None:
                     linked, score = hit
                 else:
-                    top = self.np_index.find_similar(
-                        key, town, village, a.road, a.road_num, a.text,
-                        top_n=self.top_n)
+                    top = find(key, town, village, a.road, a.road_num, a.text,
+                               top_n=top_n)
                     linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
-                    if len(self._results) > 500_000:
-                        self._results.clear()
-                    self._results[memo_key] = (linked, score)
-                out["conv_id"].append(conv_id)
-                out["turn_idx"].append(turn_idx)
-                out["mention_idx"].append(mention_idx)
-                out["role"].append(role)
-                out["district_key"].append(key)
-                out["least_region_id"].append(least)
-                out["linked_addr"].append(linked)
-                out["score"].append(score)
-                out["region_chain"].append(chain)
+                    if len(results) > 500_000:
+                        results.clear()
+                    results[memo_key] = (linked, score)
+                o_conv(conv_id)
+                o_turn(turn_idx)
+                o_mi(mention_idx)
+                o_role(role)
+                o_key(key)
+                o_least(least)
+                o_linked(linked)
+                o_score(score)
+                o_chain(chain)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self._link_rows(batch)
         return pa.Table.from_arrays(
             [pa.array(out[f.name], f.type) for f in FUSED_SCHEMA], schema=FUSED_SCHEMA
         )
@@ -179,44 +196,59 @@ class MentionLinkTriplesStage(MentionLinkStage):
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
+        from zlib import crc32
 
-        link_rows = super().__call__(batch)
+        rows = self._link_rows(batch)  # plain lists — no Arrow round-trip
         cols = {n: [] for n in TRIPLE_ROUTE_SCHEMA.names}
+        c_route = cols["route"].append
+        c_subj = cols["subj"].append
+        c_pred = cols["pred"].append
+        c_obj = cols["obj"].append
+        c_conv = cols["conv_id"].append
+        c_turn = cols["turn_idx"].append
+        c_mi = cols["mention_idx"].append
+        c_key = cols["district_key"].append
+        c_score = cols["score"].append
         edges = set()
 
-        def add(route, subj, pred, obj, conv, turn, mi, key, score):
-            cols["route"].append(route)
-            cols["subj"].append(subj)
-            cols["pred"].append(pred)
-            cols["obj"].append(obj)
-            cols["conv_id"].append(conv)
-            cols["turn_idx"].append(turn)
-            cols["mention_idx"].append(mi)
-            cols["district_key"].append(key)
-            cols["score"].append(score)
-
         for conv, turn, mi, role, key, least, linked, score, chain in zip(
-            link_rows.column("conv_id").to_pylist(),
-            link_rows.column("turn_idx").to_pylist(),
-            link_rows.column("mention_idx").to_pylist(),
-            link_rows.column("role").to_pylist(),
-            link_rows.column("district_key").to_pylist(),
-            link_rows.column("least_region_id").to_pylist(),
-            link_rows.column("linked_addr").to_pylist(),
-            link_rows.column("score").to_pylist(),
-            link_rows.column("region_chain").to_pylist(),
+            rows["conv_id"], rows["turn_idx"], rows["mention_idx"],
+            rows["role"], rows["district_key"], rows["least_region_id"],
+            rows["linked_addr"], rows["score"], rows["region_chain"],
         ):
-            route = zlib.crc32(conv.encode()) % _N_CONV_BUCKETS
-            add(route, f"conv:{conv}:{role}", "located_at", f"region:{least}",
-                conv, turn, mi, key, score)
-            obj = f"addr:{linked}" if linked >= 0 else "addr:none"
-            add(route, f"conv:{conv}", "mentions", obj, conv, turn, mi, key, score)
+            route = crc32(conv.encode()) % _N_CONV_BUCKETS
+            # located_at row
+            c_route(route)
+            c_subj(f"conv:{conv}:{role}")
+            c_pred("located_at")
+            c_obj(f"region:{least}")
+            c_conv(conv)
+            c_turn(turn)
+            c_mi(mi)
+            c_key(key)
+            c_score(score)
+            # mentions row
+            c_route(route)
+            c_subj(f"conv:{conv}")
+            c_pred("mentions")
+            c_obj(f"addr:{linked}" if linked >= 0 else "addr:none")
+            c_conv(conv)
+            c_turn(turn)
+            c_mi(mi)
+            c_key(key)
+            c_score(score)
             for child, parent in zip(chain, chain[1:]):
                 edges.add((f"region:{child}", f"region:{parent}"))
         for s, o in edges:
-            add(1000 + zlib.crc32((s + o).encode()) % _N_EDGE_BUCKETS,
-                s, "part_of", o, "", -1, -1, "", 1.0)
+            c_route(1000 + crc32((s + o).encode()) % _N_EDGE_BUCKETS)
+            c_subj(s)
+            c_pred("part_of")
+            c_obj(o)
+            c_conv("")
+            c_turn(-1)
+            c_mi(-1)
+            c_key("")
+            c_score(1.0)
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], f.type) for f in TRIPLE_ROUTE_SCHEMA],
             schema=TRIPLE_ROUTE_SCHEMA,

@@ -79,6 +79,14 @@ def _compare_query(py_index, np_index, key, town, village, road, road_num, resid
     assert got is not None and len(got) == len(expected)
     np.testing.assert_array_equal(got, expected)  # EXACT, not approx
 
+    # BOTH internal paths must agree bit-for-bit with the sequential kernel
+    # regardless of which one the district-size dispatch picks
+    di = np_index.district_idx[key]
+    vec = np_index._score_district_vec(di, town, village, road, road_num, residual)
+    sca = np_index._score_district_scalar(di, town, village, road, road_num, residual)
+    np.testing.assert_array_equal(vec, expected)
+    np.testing.assert_array_equal(np.array(sca), expected)
+
     top_py = find_similar(q, docs, top_n=3)
     top_np = np_index.find_similar(key, town, village, road, road_num,
                                    residual, top_n=3)
