@@ -49,6 +49,51 @@ def term_hash(text: str) -> int:
         hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def district_bucket(district_key: str, n_buckets: int) -> int:
+    """Stable bucket for a district key (shared by the hive-partitioned
+    checkpoints and the sharded broadcast index — ONE partitioning function
+    reused everywhere)."""
+    import zlib
+
+    return zlib.crc32(district_key.encode()) % n_buckets
+
+
+class ShardedNpIndex:
+    """Bucket-sharded broadcast index: one NpCorpusIndex per district bucket.
+
+    Built distributed (one Ray task per bucket — pipelines/kg.py), each
+    payload ``ray.put`` by its build task; every actor maps the same plasma
+    buffers read-only. ``find_similar`` routes by district bucket, so lookup
+    semantics are identical to one big index (districts never span buckets)."""
+
+    __slots__ = ("indexes", "n_buckets")
+
+    def __init__(self, indexes: dict[int, "NpCorpusIndex | None"], n_buckets: int):
+        self.indexes = indexes
+        self.n_buckets = n_buckets
+
+    @classmethod
+    def from_payloads(cls, payloads: dict[int, dict | None]) -> "ShardedNpIndex":
+        return cls(
+            {b: (NpCorpusIndex.from_payload(p) if p is not None else None)
+             for b, p in payloads.items()},
+            n_buckets=len(payloads),
+        )
+
+    def has_district(self, district_key: str) -> bool:
+        idx = self.indexes.get(district_bucket(district_key, self.n_buckets))
+        return idx is not None and idx.has_district(district_key)
+
+    def find_similar(self, district_key: str, town: str, village: str,
+                     road: str, road_num: str, residual: str,
+                     top_n: int = 1) -> list[tuple[int, float]]:
+        idx = self.indexes.get(district_bucket(district_key, self.n_buckets))
+        if idx is None:
+            return []
+        return idx.find_similar(district_key, town, village, road, road_num,
+                                residual, top_n=top_n)
+
+
 def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Concatenate [lo_i, hi_i) ranges in order — a vectorized multi-arange."""
     lens = (hi - lo).astype(np.int64)

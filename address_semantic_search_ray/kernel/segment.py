@@ -62,7 +62,8 @@ class DictSegmenter:
         while i < n:
             cands = self.by_first.get(text[i])
             if cands:
-                for ln in range(min(self.max_len, n - i), 1, -1):
+                # down to length 1: single-char dictionary terms match too
+                for ln in range(min(self.max_len, n - i), 0, -1):
                     w = text[i:i + ln]
                     if w in cands:
                         out.append(w)

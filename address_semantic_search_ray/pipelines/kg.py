@@ -176,7 +176,17 @@ def run_kg_pipeline(
             "metrics_path": metrics_path}
 
 
-SMALL_CORPUS_OVERLAP_MAX = 40_000  # single-task build stays under the ramp
+# Mode thresholds are byte budgets, not row counts (round-2 verdict #7):
+# the flat index measures ~4.0x the corpus text's uncompressed bytes + ~70 B
+# per row (calibrated at sf0.01/sf0.1, both within 1%). The single-task
+# overlapped build is bounded by what one worker can interpret during the
+# actor-pool ramp (~15 MB of index == ~40k rows); the sharded broadcast
+# build is bounded by what fits in a node's object store alongside blocks
+# in flight — beyond that the checkpointed pipeline (bucket LRU, disk-backed)
+# is the only honest mode.
+SMALL_INDEX_OVERLAP_MAX_BYTES = 16 << 20
+BROADCAST_INDEX_MAX_BYTES = 4 << 30
+N_INDEX_BUCKETS = 64
 
 
 def _count_parquet_rows(path: str) -> int:
@@ -187,6 +197,30 @@ def _count_parquet_rows(path: str) -> int:
     files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
         if os.path.isdir(path) else [path]
     return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def estimate_index_bytes(addresses_path: str) -> int:
+    """Predicted broadcast-index size from parquet footers only (no data
+    read): 4.5 x uncompressed text bytes + 64 B/row (measured 4.0x / 37 B,
+    with margin)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(addresses_path, "*.parquet"))) \
+        if os.path.isdir(addresses_path) else [addresses_path]
+    rows = 0
+    text_bytes = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == "text":
+                    text_bytes += col.total_uncompressed_size
+    return int(text_bytes * 4.5) + rows * 64
 
 
 def _build_small_corpus_index_impl(addresses_path: str, region_ref):
@@ -210,6 +244,56 @@ def _build_small_corpus_index_impl(addresses_path: str, region_ref):
 _build_small_corpus_index = ray.remote(_build_small_corpus_index_impl)
 
 
+def _split_corpus_block_impl(tbl, n_buckets: int):
+    """Map side of the index-build exchange: one interpreted corpus block ->
+    one table per bucket (vectorized filter on the precomputed bucket
+    column). ``num_returns=n_buckets`` so each reduce task fetches ONLY its
+    bucket's slices — a real all-to-all, no driver hop, no over-fetch."""
+    import pyarrow.compute as pc
+
+    bucket_col = tbl.column("bucket")
+    return tuple(tbl.filter(pc.equal(bucket_col, b)) for b in range(n_buckets))
+
+
+def _build_bucket_payload_impl(*parts):
+    """Reduce side: concat this bucket's slices (block order == the global
+    interpreted row order, so per-district doc order matches a single-task
+    build), finalize the bucket's per-district IDF, build the flat index.
+    The returned payload dict of numpy arrays lands in plasma; every actor's
+    ``ray.get`` maps it zero-copy."""
+    import pyarrow as pa
+
+    from ..kernel.npindex import NpCorpusIndex
+    from ..stages.idf import driver_idf
+
+    tables = [p for p in parts if p.num_rows > 0]
+    if not tables:
+        return None
+    tbl = pa.concat_tables(tables)
+    idf_tbl = driver_idf(tbl)
+    docs_tbl = tbl.drop_columns(["term_keys", "bucket"])
+    return NpCorpusIndex.from_tables(docs_tbl, idf_tbl).to_payload()
+
+
+_split_corpus_block = ray.remote(_split_corpus_block_impl)
+_build_bucket_payload = ray.remote(_build_bucket_payload_impl)
+
+
+def build_sharded_index_refs(corpus_ds, n_buckets: int = N_INDEX_BUCKETS) -> dict:
+    """Distributed broadcast-index build: interpreted corpus Dataset ->
+    {bucket: ObjectRef(payload)}. The corpus NEVER passes through the
+    driver (round-2 verdict fix #2): blocks stay in plasma; split tasks
+    partition them by district bucket with ``num_returns`` so build tasks
+    fetch only their own slices; each bucket's index builds in parallel."""
+    refs = corpus_ds.to_arrow_refs()
+    split = _split_corpus_block.options(num_returns=n_buckets)
+    parts = [split.remote(r, n_buckets) for r in refs]
+    return {
+        b: _build_bucket_payload.remote(*[parts[i][b] for i in range(len(parts))])
+        for b in range(n_buckets)
+    }
+
+
 def run_kg_streaming(
     data_dir: str,
     out_dir: str,
@@ -229,9 +313,6 @@ def run_kg_streaming(
     checkpointed/partitioned path for when it does not. Both modes emit
     identical triples.
     """
-    import pyarrow as pa
-    import ray
-
     from ..stages.fused import MentionLinkTriplesStage, finalize_route_group
 
     region_dict_path = region_dict_path or default_region_dict_path()
@@ -240,19 +321,25 @@ def run_kg_streaming(
 
     region_ref = put_region_table(region_dict_path)
 
-    # corpus index: distributed interpret over the multi-file corpus read
-    # (no repartition barrier), then ONE flat numpy index in plasma
-    # (zero-copy views in every actor — the index is never replicated per
-    # process). IDF for the broadcast side is finalized driver-side from the
-    # interpreted doc table: the corpus is the SMALL side by definition of
-    # this mode, and a Ray groupby job here costs ~3-4 s of fixed latency at
-    # every scale; the big-corpus path (run_kg_pipeline) keeps the fully
-    # distributed IDF groupby (A1), which kg_idf oracle-checks.
-    from ..stages.fused import put_np_index
-    from ..stages.idf import driver_idf
-
-    n_addresses = _count_parquet_rows(addresses_path)
-    if n_addresses <= SMALL_CORPUS_OVERLAP_MAX:
+    # corpus index in plasma, zero-copy views in every actor — never
+    # replicated per process. Small corpus: ONE overlapped build task.
+    # Big corpus: distributed interpret + per-bucket sharded build (the
+    # corpus never passes through the driver). Oversized: checkpointed
+    # pipeline fallback. Per-bucket IDF equals the per-district IDF the
+    # kg_idf oracle checks (districts never span buckets).
+    est_bytes = estimate_index_bytes(addresses_path)
+    if est_bytes > BROADCAST_INDEX_MAX_BYTES:
+        # the index would not fit in worker memory as a broadcast — route to
+        # the checkpointed/partitioned pipeline (bucket LRU over hive
+        # partitions); it emits byte-identical triples
+        result = run_kg_pipeline(
+            data_dir, os.path.join(out_dir, "work"),
+            region_dict_path=region_dict_path, top_n=top_n,
+            concurrency=concurrency, batch_size=batch_size,
+        )
+        result["mode"] = "checkpointed-fallback"
+        return result
+    if est_bytes <= SMALL_INDEX_OVERLAP_MAX_BYTES:
         # overlap the index build with the fused job's actor ramp: a single
         # Ray task builds the whole index and its ObjectRef is handed to the
         # actor pool IMMEDIATELY — 28 actors unpickle their trie and the
@@ -261,7 +348,8 @@ def run_kg_streaming(
         # every cluster size)
         index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)
     else:
-        # big corpus: distributed interpret, IDF finalized driver-side
+        # big corpus: distributed interpret -> sharded per-bucket index
+        # build; the corpus never funnels through the driver
         corpus_conc = max(2, concurrency // 2)
         corpus_ds = (
             rd.read_parquet(addresses_path, columns=["addr_id", "text"],
@@ -276,10 +364,7 @@ def run_kg_streaming(
             .materialize()  # one execution; a bare to_arrow_refs schema-peeks
             # the plan and runs the whole read+interpret a second time
         )
-        corpus_tbl = pa.concat_tables(ray.get(corpus_ds.to_arrow_refs()))
-        docs_tbl = corpus_tbl.drop_columns(["term_keys"])
-        idf_tbl = driver_idf(corpus_tbl)
-        index_ref = put_np_index(docs_tbl, idf_tbl)
+        index_ref = build_sharded_index_refs(corpus_ds)
 
     triples_ds = (
         rd.read_parquet(transcripts_path,

@@ -81,7 +81,6 @@ def read_transcripts_jsonl(path: str):
     schema (conv_id:str, turn_idx:int32, role:str, text:str, tool:str|null,
     ts:timestamp[us]); missing tool/ts become null, ts accepts ISO-8601
     strings or epoch microseconds."""
-    import pyarrow.compute as pc
 
     def normalize(batch: pa.Table) -> pa.Table:
         def col(name, default_type):
@@ -93,7 +92,16 @@ def read_transcripts_jsonl(path: str):
         if pa.types.is_integer(ts.type):
             ts = ts.cast(pa.timestamp("us"))
         elif pa.types.is_string(ts.type):
-            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us")
+            # ISO-8601: a zone-less column parses via the naive cast
+            # (fractional seconds included); a zone-bearing column ('Z' or
+            # offsets) via the UTC cast, normalized to naive UTC wall time.
+            # A column MIXING zoned and zone-less strings is not supported
+            # (Arrow casts are all-or-nothing) and raises ArrowInvalid.
+            try:
+                ts = ts.cast(pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = ts.cast(pa.timestamp("us", tz="UTC")) \
+                    .cast(pa.timestamp("us"))
         elif pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.timestamp("us"))
         return pa.table({

@@ -139,10 +139,27 @@ def seg_melt_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — exact, no 64x bit-unpack blowup."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+# peak extra memory per bucket for the pairwise pass (~3 uint64 row-block
+# matrices in flight); a hot 50k-doc bucket stays under ~100 MB instead of
+# the tens of GB an n x n x 64 unpacked-bits array would need
+_PAIR_BLOCK_BYTES = 32 << 20
+
+
 def seg_pairs_vec(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     """One (seg_idx, seg_val) bucket -> (a<b) pairs with Hamming <= max.
 
-    Vectorized xor/popcount matrix (numpy unpackbits) — no per-pair Python."""
+    Vectorized xor + SWAR popcount over ROW BLOCKS of the pair matrix, so
+    peak memory is bounded (~_PAIR_BLOCK_BYTES) however hot the bucket —
+    no per-pair Python either way."""
     g = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = g["doc_id"].to_numpy()
     n = len(ids)
@@ -151,13 +168,30 @@ def seg_pairs_vec(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
                              "doc_id_b": np.asarray([], dtype=np.int64),
                              "hamming": np.asarray([], dtype=np.int64)})
     hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-    x = hs[:, None] ^ hs[None, :]
-    d = np.unpackbits(x.view(np.uint8)).reshape(n, n, 64).sum(axis=2)
-    iu, ju = np.triu_indices(n, 1)
-    keep = d[iu, ju] <= max_hamming
-    return pd.DataFrame({"doc_id_a": ids[iu[keep]].astype(np.int64),
-                         "doc_id_b": ids[ju[keep]].astype(np.int64),
-                         "hamming": d[iu, ju][keep].astype(np.int64)})
+    block = max(1, _PAIR_BLOCK_BYTES // (n * 8 * 3))
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    h_out: list[np.ndarray] = []
+    for i0 in range(0, n - 1, block):
+        i1 = min(i0 + block, n - 1)
+        # rows i0..i1 against columns i0+1..n (upper triangle only)
+        x = hs[i0:i1, None] ^ hs[None, i0 + 1:]
+        d = _popcount64(x)
+        ri, cj = np.nonzero(d <= max_hamming)
+        ii = ri + i0
+        jj = cj + i0 + 1
+        keep = jj > ii
+        if keep.any():
+            a_out.append(ids[ii[keep]])
+            b_out.append(ids[jj[keep]])
+            h_out.append(d[ri[keep], cj[keep]])
+    if not a_out:
+        return pd.DataFrame({"doc_id_a": np.asarray([], dtype=np.int64),
+                             "doc_id_b": np.asarray([], dtype=np.int64),
+                             "hamming": np.asarray([], dtype=np.int64)})
+    return pd.DataFrame({"doc_id_a": np.concatenate(a_out).astype(np.int64),
+                         "doc_id_b": np.concatenate(b_out).astype(np.int64),
+                         "hamming": np.concatenate(h_out).astype(np.int64)})
 
 
 # -- word-set Jaccard (SQL-checkable variant) ------------------------------

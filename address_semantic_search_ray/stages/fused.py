@@ -20,8 +20,25 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..kernel.mentions import district_key, find_mentions
-from ..kernel.npindex import NpCorpusIndex
+from ..kernel.npindex import NpCorpusIndex, ShardedNpIndex
 from .interpret import _RegionStateMixin, _region_ids
+
+
+def resolve_index(index_ref):
+    """Accepts a single-payload ObjectRef, a raw payload dict
+    (tests/microbench), or a sharded {bucket: payload ObjectRef} map; the
+    ``ray.get`` of each payload maps plasma buffers zero-copy per node."""
+    if isinstance(index_ref, dict):
+        if "district_keys" in index_ref:  # raw payload
+            return NpCorpusIndex.from_payload(index_ref)
+        import ray
+
+        buckets = sorted(index_ref)
+        payloads = ray.get([index_ref[b] for b in buckets])
+        return ShardedNpIndex.from_payloads(dict(zip(buckets, payloads)))
+    import ray
+
+    return NpCorpusIndex.from_payload(ray.get(index_ref))
 
 FUSED_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -52,13 +69,7 @@ class MentionLinkStage(_RegionStateMixin):
 
     def __init__(self, region_ref, index_ref, top_n: int = 1):
         self._init_interpreter(region_ref)
-        if isinstance(index_ref, dict):  # direct payload (tests/microbench)
-            payload = index_ref
-        else:
-            import ray
-
-            payload = ray.get(index_ref)
-        self.np_index = NpCorpusIndex.from_payload(payload)
+        self.np_index = resolve_index(index_ref)
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
         self._freeze_state()
@@ -114,6 +125,7 @@ class MentionLinkStage(_RegionStateMixin):
                 o_linked(linked)
                 o_score(score)
                 o_chain(chain)
+        self._maybe_gc()
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -132,16 +144,19 @@ class BroadcastLinker:
     def __init__(self, index_ref, top_n: int = 1):
         import gc
 
-        import ray
-
-        self.np_index = NpCorpusIndex.from_payload(ray.get(index_ref))
+        self.np_index = resolve_index(index_ref)
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
+        self._gc_tick = 0
         gc.collect()
         gc.freeze()
-        gc.disable()  # see _RegionStateMixin._freeze_state
+        gc.disable()  # see _RegionStateMixin._freeze_state (+ _maybe_gc)
+
+    _maybe_gc = _RegionStateMixin._maybe_gc
+    _GC_EVERY = _RegionStateMixin._GC_EVERY
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._maybe_gc()
         linked_out, score_out = [], []
         for key, town, village, road, road_num, residual in zip(
             batch.column("district_key").to_pylist(),

@@ -51,14 +51,29 @@ class _RegionStateMixin:
         stop cyclic GC in the hot loop. Freeze alone still leaves periodic
         young-gen collections whose heap walks contend badly under a full
         actor pool (A/B at 28 processes: +25% throughput with GC off). The
-        hot loop allocates only acyclic objects (strings/tuples/lists/numpy)
-        that refcounting frees immediately, so disabling collection leaks
-        nothing observable over a run."""
+        hot loop allocates mostly acyclic objects that refcounting frees
+        immediately; the rare cycle (pandas frames, caught-exception
+        tracebacks) is reclaimed by the periodic ``_maybe_gc`` sweep below,
+        so sustained runs stay memory-bounded."""
         import gc
 
         gc.collect()
         gc.freeze()
         gc.disable()
+        self._gc_tick = 0
+
+    _GC_EVERY = 512  # batches (~1M rows) between explicit cycle sweeps
+
+    def _maybe_gc(self):
+        """Amortized cycle collection while gc stays disabled: one explicit
+        ``gc.collect()`` every _GC_EVERY batches costs ~ms and bounds any
+        cyclic garbage the hot loop produces (tests/ADVICE round 2)."""
+        self._gc_tick += 1
+        if self._gc_tick >= self._GC_EVERY:
+            self._gc_tick = 0
+            import gc
+
+            gc.collect()
 
 
 # Import-side column caps at the persist boundary (S5): the reference
@@ -123,6 +138,7 @@ class CorpusInterpretStage(_RegionStateMixin):
             out["road_num"].append(a.road_num)
             out["residual"].append(a.text)
             out["term_keys"].append([term_idf_key(t) for t in doc.terms])
+        self._maybe_gc()
         buckets = [bucket_of(k, self.n_buckets) for k in out["district_key"]]
         return pa.table({
             "bucket": pa.array(buckets, pa.int32()),
@@ -177,6 +193,7 @@ class MentionStage(_RegionStateMixin):
                 out["residual"].append(a.text)
                 out["least_region_id"].append(least)
                 out["region_chain"].append(chain)
+        self._maybe_gc()
         return pa.table({
             "conv_id": pa.array(out["conv_id"], pa.string()),
             "turn_idx": pa.array(out["turn_idx"], pa.int32()),

@@ -44,7 +44,9 @@ LINK_SCHEMA = pa.schema([
 
 
 def bucket_of(district_key: str, n_buckets: int = DEFAULT_N_BUCKETS) -> int:
-    return zlib.crc32(district_key.encode()) % n_buckets
+    from ..kernel.npindex import district_bucket
+
+    return district_bucket(district_key, n_buckets)
 
 
 def _read_dir(root: str, bucket: int, columns=None) -> pa.Table | None:
@@ -86,10 +88,21 @@ class LinkerActor:
 
         gc.collect()
         gc.freeze()
-        gc.disable()  # see _RegionStateMixin._freeze_state
+        gc.disable()  # see _RegionStateMixin._freeze_state (+ _maybe_gc)
+        self._gc_tick = 0
         # result memo: repeated query shapes (same fields, same district) are
         # common in conversational data; deterministic, bounded
         self._results: dict[tuple, tuple] = {}
+
+    _GC_EVERY = 512  # see _RegionStateMixin._maybe_gc
+
+    def _maybe_gc(self):
+        self._gc_tick += 1
+        if self._gc_tick >= self._GC_EVERY:
+            self._gc_tick = 0
+            import gc
+
+            gc.collect()
 
     def _bucket_index(self, bucket: int) -> dict:
         if bucket in self._cache:
@@ -102,6 +115,7 @@ class LinkerActor:
         return idx
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._maybe_gc()
         out = {name: [] for name in LINK_SCHEMA.names}
         for conv_id, turn_idx, mention_idx, role, key, town, village, road, road_num, residual, least in zip(
             batch.column("conv_id").to_pylist(),

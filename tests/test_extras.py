@@ -161,3 +161,62 @@ def test_jsonl_transcript_reader(ray_session, tmp_path):
                          batch_format="pyarrow", batch_size=16,
                          concurrency=1).take_all()
     assert len(out) == 1 and out[0]["district_key"].count("-") == 2
+
+
+def test_jsonl_transcript_reader_iso_variants(ray_session, tmp_path):
+    """ISO-8601 fractional seconds, 'Z', and offsets must all parse; zoned
+    values normalize to UTC wall time."""
+    from datetime import datetime
+
+    from address_semantic_search_ray.sources.readers import read_transcripts_jsonl
+
+    cases = [
+        ("frac.jsonl", "2024-01-01T08:00:00.123456", datetime(2024, 1, 1, 8, 0, 0, 123456)),
+        ("zulu.jsonl", "2024-01-01T08:00:00Z", datetime(2024, 1, 1, 8, 0, 0)),
+        ("offs.jsonl", "2024-01-01T08:00:00+02:00", datetime(2024, 1, 1, 6, 0, 0)),
+    ]
+    for fname, ts, expected in cases:
+        p = tmp_path / fname
+        p.write_text('{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+                     f'"text": "hi", "ts": "{ts}"}}\n', encoding="utf-8")
+        row = read_transcripts_jsonl(str(p)).take_all()[0]
+        assert row["ts"] == expected, (ts, row["ts"])
+
+
+def test_simhash_pair_blocks_match_unblocked():
+    """The row-blocked SWAR popcount pass must find exactly the pairs the
+    plain O(n^2)-memory computation finds, even with a tiny block size."""
+    import numpy as np
+    import pandas as pd
+
+    from address_semantic_search_ray.stages import dedup as dd
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    hs = rng.integers(0, 2**63 - 1, size=n, dtype=np.int64)
+    # plant near-dup clusters (low hamming)
+    hs[10] = hs[20] = hs[30]
+    hs[40] = hs[50] ^ 0b11  # hamming 2
+    g = pd.DataFrame({"doc_id": ids, "simhash": hs,
+                      "seg_idx": 0, "seg_val": 0})
+
+    def naive(group, max_h):
+        rows = []
+        h = group["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = bin(int(h[i] ^ h[j])).count("1")
+                if d <= max_h:
+                    rows.append((i, j, d))
+        return sorted(rows)
+
+    for blk in (1 << 10, 1 << 20):
+        old = dd._PAIR_BLOCK_BYTES
+        dd._PAIR_BLOCK_BYTES = blk
+        try:
+            got = dd.seg_pairs_vec(g, 3)
+        finally:
+            dd._PAIR_BLOCK_BYTES = old
+        got_rows = sorted(zip(got["doc_id_a"], got["doc_id_b"], got["hamming"]))
+        assert [(int(a), int(b), int(h)) for a, b, h in got_rows] == naive(g, 3)

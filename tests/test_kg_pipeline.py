@@ -145,13 +145,47 @@ def test_streaming_mode_matches_checkpointed(ray_session, tiny_data, tmp_path_fa
 
 def test_streaming_distributed_corpus_path_matches(ray_session, tiny_data, tmp_path_factory,
                                                    pipeline_result, monkeypatch):
-    """The big-corpus branch (distributed interpret + driver IDF) must emit
-    the same triples as the small-corpus overlapped single-task branch."""
+    """The big-corpus branch (distributed interpret + sharded per-bucket
+    index build, no driver funnel) must emit the same triples as the
+    small-corpus overlapped single-task branch."""
     from address_semantic_search_ray.pipelines import kg
 
-    monkeypatch.setattr(kg, "SMALL_CORPUS_OVERLAP_MAX", 0)  # force distributed
+    monkeypatch.setattr(kg, "SMALL_INDEX_OVERLAP_MAX_BYTES", 0)  # force sharded
     out = str(tmp_path_factory.mktemp("kgstream_dist"))
     res = kg.run_kg_streaming(tiny_data, out, concurrency=2)
     a = pq.read_table(res["triples"])
     b = pq.read_table(pipeline_result["triples"])
     assert _triple_set(a) == _triple_set(b)
+
+
+def test_streaming_oversized_corpus_routes_to_checkpointed(ray_session, tiny_data,
+                                                           tmp_path_factory,
+                                                           pipeline_result, monkeypatch):
+    """A corpus whose estimated index exceeds the broadcast budget must fall
+    back to the checkpointed pipeline — and still produce the same triples."""
+    from address_semantic_search_ray.pipelines import kg
+
+    monkeypatch.setattr(kg, "BROADCAST_INDEX_MAX_BYTES", 0)
+    out = str(tmp_path_factory.mktemp("kgstream_over"))
+    res = kg.run_kg_streaming(tiny_data, out, concurrency=2)
+    assert res.get("mode") == "checkpointed-fallback"
+    a = pq.read_table(res["triples"])
+    b = pq.read_table(pipeline_result["triples"])
+    assert _triple_set(a) == _triple_set(b)
+
+
+def test_estimate_index_bytes_tracks_measured(ray_session, tiny_data):
+    """The footer-only estimator must bound the real payload size from above
+    without absurd overshoot (x1..x3)."""
+    import numpy as np
+
+    from address_semantic_search_ray.pipelines import kg
+    from address_semantic_search_ray.stages.interpret import put_region_table
+
+    est = kg.estimate_index_bytes(tiny_data + "/addresses.parquet")
+    region_ref = put_region_table(
+        kg.default_region_dict_path())
+    payload = kg._build_small_corpus_index_impl(
+        tiny_data + "/addresses.parquet", region_ref)
+    real = sum(a.nbytes for a in payload.values() if isinstance(a, np.ndarray))
+    assert real <= est <= real * 3
