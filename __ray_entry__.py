@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG-construction flagship
         "kg_triples": q.kg_triples,
         "kg_mentions": q.kg_mentions,
+        "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
         "kg_turn_stats": q.kg_turn_stats,
     }
@@ -354,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, mention_idx, role, district_key, town,
                    village, road, road_num, residual, least_region_id
             FROM read_parquet('{SF001_ORACLE}/kg_mentions.parquet')
+        """,
+        "kg_links_explain": f"""
+            SELECT * FROM read_parquet('{SF001_ORACLE}/kg_links_explain.parquet')
         """,
         "town_mining": f"""
             SELECT id, parent_id, type, name

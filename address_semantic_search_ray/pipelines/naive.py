@@ -463,3 +463,79 @@ def ensure_naive_oracles(sf: float, sf_dir: str, data_dir: str) -> str | None:
     write_town_mining(data_dir, out)
     write_regression(data_dir, out)
     return out
+
+
+def write_links_explain(data_dir: str, out_dir: str, top_n: int = 2,
+                        region_dict_path: str | None = None) -> None:
+    """Expected kg_links_explain: a fresh single-process mention scan +
+    explain-mode scoring (one row per candidate rank per matched term).
+    The per-mention loop, candidate ordering, and row explosion are all
+    recomputed sequentially here; the Ray side distributes them."""
+    from ..kernel.document import doc_from_fields
+    from ..kernel.interpreter import Interpreter
+    from ..kernel.mentions import district_key, find_mentions
+    from ..kernel.regions import RegionDict
+    from ..kernel.similarity import find_similar_explain
+    from .oracle import build_corpus_index, default_region_dict_path
+
+    region_dict_path = region_dict_path or default_region_dict_path()
+    transcripts_path = os.path.join(data_dir, "transcripts.parquet")
+    addresses_path = os.path.join(data_dir, "addresses.parquet")
+    fp = _fingerprint(transcripts_path, addresses_path, region_dict_path) + f":{top_n}"
+    if _cached(out_dir, "kg_links_explain", fp):
+        return
+
+    interpreter = Interpreter(RegionDict.from_parquet(region_dict_path))
+    index = build_corpus_index(
+        pq.read_table(addresses_path, columns=["addr_id", "text"]), interpreter)
+
+    t = pq.read_table(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    cols: dict[str, list] = {k: [] for k in (
+        "conv_id", "turn_idx", "mention_idx", "rank", "linked_addr", "score",
+        "term_text", "term_type", "boost", "tfidf", "density", "coord")}
+    for conv_id, turn_idx, text in zip(
+        t.column("conv_id").to_pylist(), t.column("turn_idx").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        if not text:
+            continue
+        for mention_idx, m in enumerate(find_mentions(text, interpreter)):
+            a = m.addr
+            entry = index.get(district_key(a))
+            if entry is None:
+                continue
+            docs, idf = entry
+            q = doc_from_fields(
+                -1, a.town.name if a.town is not None else "",
+                a.village.name if a.village is not None else "",
+                a.road, a.road_num, a.text, idf_lookup=idf)
+            for rank, (doc_id, sim, matched) in enumerate(
+                    find_similar_explain(q, docs, top_n=top_n)):
+                for mt in matched:
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(turn_idx)
+                    cols["mention_idx"].append(mention_idx)
+                    cols["rank"].append(rank)
+                    cols["linked_addr"].append(doc_id)
+                    cols["score"].append(round(sim, 6))
+                    cols["term_text"].append(mt["text"])
+                    cols["term_type"].append(mt["type"])
+                    cols["boost"].append(mt["boost"])
+                    cols["tfidf"].append(round(mt["tfidf"], 6))
+                    cols["density"].append(round(mt["density"], 6))
+                    cols["coord"].append(round(mt["coord"], 6))
+    pq.write_table(pa.table({
+        "conv_id": pa.array(cols["conv_id"], pa.string()),
+        "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
+        "mention_idx": pa.array(cols["mention_idx"], pa.int32()),
+        "rank": pa.array(cols["rank"], pa.int32()),
+        "linked_addr": pa.array(cols["linked_addr"], pa.int64()),
+        "score": pa.array(cols["score"], pa.float64()),
+        "term_text": pa.array(cols["term_text"], pa.string()),
+        "term_type": pa.array(cols["term_type"], pa.string()),
+        "boost": pa.array(cols["boost"], pa.float64()),
+        "tfidf": pa.array(cols["tfidf"], pa.float64()),
+        "density": pa.array(cols["density"], pa.float64()),
+        "coord": pa.array(cols["coord"], pa.float64()),
+    }), os.path.join(out_dir, "kg_links_explain.parquet"))
+    _mark(out_dir, "kg_links_explain", fp)

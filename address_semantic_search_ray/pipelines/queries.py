@@ -657,6 +657,25 @@ def kg_mentions(sf_dir: str):
     return rd.read_parquet(res["mentions"]).drop_columns(["region_chain"])
 
 
+def kg_links_explain(sf_dir: str):
+    """Explain-mode linking (the reference's ``explain`` surface,
+    SimilarityComputer.java:456-550 + MatchedTerm.java:3-45, exposed by
+    HttpDemoServiceImpl.java:40-96): one row per (mention, candidate rank,
+    matched term) with boost/tfidf/density/coord — the record a user debugs
+    link quality with."""
+    from ..data.synth import ensure_dataset
+    from .extras import links_explain
+
+    data_dir = ensure_dataset(_sf_of(sf_dir), root=SYNTH_ROOT)
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_links_explain(data_dir, out_dir)
+    res = _kg_artifacts(sf_dir)
+    return links_explain(data_dir, res["mentions"])
+
+
 def kg_idf(sf_dir: str):
     res = _kg_artifacts(sf_dir)
     ds = rd.read_parquet(res["idf"])

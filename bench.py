@@ -30,7 +30,7 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh", "dedup_simhash", "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
     "similarity_topk_ivf", "embedding_near_dup", "embedding_near_dup_lsh",
-    "multimodal_image_meta",
+    "multimodal_image_meta", "kg_links_explain",
 )
 
 

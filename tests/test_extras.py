@@ -220,3 +220,33 @@ def test_simhash_pair_blocks_match_unblocked():
             dd._PAIR_BLOCK_BYTES = old
         got_rows = sorted(zip(got["doc_id_a"], got["doc_id_b"], got["hamming"]))
         assert [(int(a), int(b), int(h)) for a, b, h in got_rows] == naive(g, 3)
+
+
+def test_links_explain_matches_naive(ray_session, tmp_path):
+    """Distributed explain-mode linking == the single-process twin, row for
+    row (order-insensitive), at sf0.001."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from address_semantic_search_ray.data.synth import ensure_dataset
+    from address_semantic_search_ray.pipelines import naive
+    from address_semantic_search_ray.pipelines.extras import links_explain
+    from address_semantic_search_ray.pipelines.kg import run_kg_pipeline
+
+    data_dir = ensure_dataset(0.001)
+    work = str(tmp_path / "work")
+    res = run_kg_pipeline(data_dir, work, concurrency=2)
+    got = links_explain(data_dir, res["mentions"], concurrency=2).to_pandas()
+
+    out_dir = str(tmp_path / "oracle")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    naive.write_links_explain(data_dir, out_dir)
+    exp = pq.read_table(os.path.join(out_dir, "kg_links_explain.parquet")).to_pandas()
+
+    assert len(got) == len(exp) > 0
+    key = list(got.columns)
+    g = got.sort_values(key, kind="stable").reset_index(drop=True)
+    e = exp[key].sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
