@@ -72,11 +72,26 @@ class MentionLinkStage(_RegionStateMixin):
         self.np_index = resolve_index(index_ref)
         self.top_n = top_n
         self._results: dict[tuple, tuple] = {}
+        # vectorized turn prefilter: a turn with NO trie root-edge char can't
+        # contain a mention (the scan gate needs one at the mention start) —
+        # such rows are dropped arrow-side before any Python row work.
+        # RE2 handles the ~full first-char class fine.
+        chars = "".join(sorted(self.interpreter.trie.first_chars))
+        for c in "\\]^-":
+            chars = chars.replace(c, "\\" + c)
+        self._prefilter = f"[{chars}]"
         self._freeze_state()
 
     def _link_rows(self, batch: pa.Table) -> dict[str, list]:
         """One pass: detect + link; returns plain column lists (FUSED_SCHEMA
         order) so subclasses can consume them without an Arrow round-trip."""
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(batch.column("text"), self._prefilter)
+        n_match = pc.sum(mask).as_py() or 0
+        if n_match < batch.num_rows:
+            batch = batch.filter(mask)
+
         it = self.interpreter
         results = self._results
         find = self.np_index.find_similar

@@ -19,21 +19,62 @@ from ..kernel.mentions import district_key, find_mentions
 from ..kernel.regions import RegionDict
 
 
-def put_region_table(region_dict_path: str):
-    """Driver-side: build the region dict + trie ONCE, put the pickled pair
-    in the object store. Unpickling in each actor (~0.5 s) is 2-3x faster
-    than rebuilding from the arrow table (~1.6 s) — it cuts the actor-pool
-    ramp at every scale, and plasma stores the bytes once per node."""
+def region_state_bytes(region_dict_path: str) -> bytes:
+    """Pickled (RegionDict, TermIndex) for ``region_dict_path``, cached on
+    disk keyed by the dict file's size+mtime: the build costs ~2.5 s of
+    SERIAL driver time (parquet load + trie build + pickle) and the result
+    is a pure function of the dict file — every later process (bench
+    subprocesses, scaling runs, retries) loads it in ~0.3 s instead. The
+    write is atomic (tmp + rename), so concurrent builders are safe."""
+    import hashlib
+    import os
     import pickle
+    import tempfile
 
-    import ray
+    from ..kernel import interpreter as _ki
+    from ..kernel import regions as _kr
+    from ..kernel import trie as _kt
+    from ..kernel import visitor as _kv
+
+    st = os.stat(region_dict_path)
+    parts = [f"{os.path.abspath(region_dict_path)}:{st.st_size}:{st.st_mtime_ns}"]
+    for mod in (_kt, _kr, _kv, _ki):  # code-version salt: stale pickles
+        ms = os.stat(mod.__file__)    # after a kernel change must miss
+        parts.append(f"{ms.st_size}:{ms.st_mtime_ns}")
+    key = hashlib.blake2b("|".join(parts).encode(), digest_size=10).hexdigest()
+    cache_dir = os.environ.get("ASR_TRIE_CACHE", "/tmp/asr_trie_cache")
+    cache_path = os.path.join(cache_dir, f"trie-{key}.pkl")
+    try:
+        with open(cache_path, "rb") as f:
+            return f.read()
+    except OSError:
+        pass
 
     from ..kernel.interpreter import Interpreter
     from ..kernel.regions import RegionDict
 
     regions = RegionDict.from_parquet(region_dict_path)
     trie = Interpreter(regions).trie
-    return ray.put(pickle.dumps((regions, trie), protocol=5))
+    payload = pickle.dumps((regions, trie), protocol=5)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir)
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, cache_path)
+    except OSError:
+        pass  # cache is best-effort
+    return payload
+
+
+def put_region_table(region_dict_path: str):
+    """Driver-side: put the pickled (region dict, trie) pair in the object
+    store ONCE. Unpickling in each actor (~0.5 s) is 2-3x faster than
+    rebuilding from the arrow table (~1.6 s) — it cuts the actor-pool ramp
+    at every scale, and plasma stores the bytes once per node."""
+    import ray
+
+    return ray.put(region_state_bytes(region_dict_path))
 
 
 class _RegionStateMixin:
@@ -163,9 +204,21 @@ class MentionStage(_RegionStateMixin):
 
     def __init__(self, region_ref):
         self._init_interpreter(region_ref)
+        # see MentionLinkStage: rows with no trie root-edge char can't hold a
+        # mention — drop them arrow-side before the Python row loop
+        chars = "".join(sorted(self.interpreter.trie.first_chars))
+        for c in "\\]^-":
+            chars = chars.replace(c, "\\" + c)
+        self._prefilter = f"[{chars}]"
         self._freeze_state()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.match_substring_regex(batch.column("text"), self._prefilter)
+        n_match = pc.sum(mask).as_py() or 0
+        if n_match < batch.num_rows:
+            batch = batch.filter(mask)
         it = self.interpreter
         out = {k: [] for k in ("conv_id", "turn_idx", "mention_idx", "role", "district_key",
                                "town", "village", "road", "road_num",
