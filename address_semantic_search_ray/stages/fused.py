@@ -67,10 +67,11 @@ def put_np_index(docs_tbl: pa.Table, idf_tbl: pa.Table):
 class MentionLinkStage(_RegionStateMixin):
     """transcripts -> link rows (+ region_chain) in one actor-pool pass."""
 
-    def __init__(self, region_ref, index_ref, top_n: int = 1):
+    def __init__(self, region_ref, index_ref, top_n: int = 1, memo: bool = True):
         self._init_interpreter(region_ref)
         self.np_index = resolve_index(index_ref)
         self.top_n = top_n
+        self.memo = memo
         self._results: dict[tuple, tuple] = {}
         # vectorized turn prefilter: a turn with NO trie root-edge char can't
         # contain a mention (the scan gate needs one at the mention start) —
@@ -93,7 +94,7 @@ class MentionLinkStage(_RegionStateMixin):
             batch = batch.filter(mask)
 
         it = self.interpreter
-        results = self._results
+        results = self._results if self.memo else None
         find = self.np_index.find_similar
         top_n = self.top_n
         out = {name: [] for name in FUSED_SCHEMA.names}
@@ -120,17 +121,20 @@ class MentionLinkStage(_RegionStateMixin):
                 least, chain = _region_ids(a)
                 town = a.town.name if a.town is not None else ""
                 village = a.village.name if a.village is not None else ""
-                memo_key = (key, town, village, a.road, a.road_num, a.text)
-                hit = results.get(memo_key)
+                hit = None
+                if results is not None:
+                    memo_key = (key, town, village, a.road, a.road_num, a.text)
+                    hit = results.get(memo_key)
                 if hit is not None:
                     linked, score = hit
                 else:
                     top = find(key, town, village, a.road, a.road_num, a.text,
                                top_n=top_n)
                     linked, score = (top[0][0], top[0][1]) if top else (-1, 0.0)
-                    if len(results) > 500_000:
-                        results.clear()
-                    results[memo_key] = (linked, score)
+                    if results is not None:
+                        if len(results) > 500_000:
+                            results.clear()
+                        results[memo_key] = (linked, score)
                 o_conv(conv_id)
                 o_turn(turn_idx)
                 o_mi(mention_idx)
