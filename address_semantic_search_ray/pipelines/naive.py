@@ -40,7 +40,11 @@ def oracle_dir(sf: float) -> str:
 
 
 def _fingerprint(*paths: str) -> str:
-    parts = []
+    # this module's own source is part of the key: any change to a twin's
+    # definitions (e.g. the minhash multipliers) invalidates cached oracle
+    # parquet automatically — a stale twin would silently pass a stale gate
+    parts = [hashlib.blake2b(open(__file__, "rb").read(),
+                             digest_size=8).hexdigest()]
     for p in paths:
         files = sorted(
             os.path.join(p, f) for f in os.listdir(p)) if os.path.isdir(p) else [p]
@@ -102,6 +106,10 @@ def write_simhash_sigs(documents_path: str, out_dir: str) -> None:
 _N_MINHASH = 64
 _N_BANDS = 8
 _MERSENNE = (1 << 61) - 1
+# 56-bit multipliers; the distributed side (stages/dedup.py) computes the
+# same (a*x + b) mod M EXACTLY in uint64 via a split-multiply rotate, so the
+# two implementations are bit-identical by construction, not just
+# agreement-after-verify
 _A = [int.from_bytes(hashlib.blake2b(b"a%d" % i, digest_size=7).digest(), "big") | 1
       for i in range(_N_MINHASH)]
 _B = [int.from_bytes(hashlib.blake2b(b"b%d" % i, digest_size=7).digest(), "big")

@@ -41,7 +41,14 @@ def _read(sf_dir: str, name: str, cols: list[str]):
     path = _t(sf_dir, name)
     full = pq.read_schema(path)
     schema = pa.schema([pa.field(c, full.field(c).type) for c in cols])
-    return rd.read_parquet(path, columns=cols, schema=schema)
+    # a single parquet FILE is one Ray read task -> ONE block, serializing
+    # every downstream map stage; split small-file reads so the pool gets
+    # blocks to chew on (the testdata tables are single files — real 100 TB
+    # inputs arrive as many files and never hit this)
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    n_blocks = int(min(16, max(1, n_rows // 1024)))
+    return rd.read_parquet(path, columns=cols, schema=schema,
+                           override_num_blocks=n_blocks)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -251,7 +258,7 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     texts are then co-grouped with the pair halves by a doc bucket and the
     pair verdicts by a pair bucket. The full document table never
     materializes outside the streaming read."""
-    from ..stages.dedup import band_candidate_pairs, jaccard, minhash_bands_batch
+    from ..stages.dedup import band_bucket_candidate_pairs, jaccard, minhash_bands_batch
 
     out_dir = _naive_oracle_dir(sf_dir)
     if out_dir is not None:
@@ -260,31 +267,47 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
         naive.write_minhash_bands(_t(sf_dir, "documents"), out_dir)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = docs.map_batches(minhash_bands_batch, batch_format="pandas")
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        band_candidate_pairs, batch_format="pandas")
-    # dedup candidate pairs across bands with a hash aggregate (no per-pair
-    # Python group call), then drop the helper count column
-    uniq = (cands.groupby(["doc_id_a", "doc_id_b"])
-            .aggregate(Count(alias_name="_nb")).drop_columns(["_nb"]))
 
-    # keep the deduped pair set distributed for both downstream uses; the
-    # only thing ever collected to the driver is the DISTINCT candidate id
-    # list (distributed-unique first, so duplicates never cross the wire) —
-    # pairs themselves are exploded to half-rows via a map, never collected
+    # coarse-bucket the exact band keys so the pair scan pays Ray's per-group
+    # cost ~32 times, not once per distinct (band_id, band_hash) key (tens of
+    # thousands of near-singleton keys — the round-3 bench regression)
+    def add_band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bb"] = ((df["band_hash"].to_numpy(dtype=np.uint64)
+                      * np.uint64(8) + df["band_id"].to_numpy(dtype=np.uint64))
+                     % np.uint64(32)).astype(np.int64)
+        return df
+
+    # pairs are already deduped within each bucket (set in the group fn); a
+    # pair caught by two bands can still surface in two different buckets —
+    # those stragglers are dropped in the attach step, saving a whole
+    # pair-dedup shuffle (this chain is 3 all-to-alls total: band bucket,
+    # doc-bucket attach, pair-bucket verify)
+    cands = (bands.map_batches(add_band_bucket, batch_format="pandas")
+             .groupby("_bb").map_groups(band_bucket_candidate_pairs,
+                                        batch_format="pandas")).materialize()
+
+    # the only thing ever collected to the driver is the DISTINCT candidate
+    # id list (distinct per block first, so duplicates never cross the wire —
+    # no extra shuffle for a list that lands on the driver anyway) — pairs
+    # themselves are exploded to half-rows via a map, never collected
     # (round-2 verdict fix #3)
-    uniq = uniq.materialize()
-    cand_ids = uniq.map_batches(
-        lambda t: pa.table({"doc_id": np.concatenate([
-            t.column("doc_id_a").to_numpy(zero_copy_only=False),
-            t.column("doc_id_b").to_numpy(zero_copy_only=False)])}),
-        batch_format="pyarrow",
-    ).unique("doc_id")
-    if not cand_ids:
+    id_chunks = [
+        b.column("doc_id").to_numpy(zero_copy_only=False)
+        for b in cands.map_batches(
+            lambda t: pa.table({"doc_id": np.unique(np.concatenate([
+                t.column("doc_id_a").to_numpy(zero_copy_only=False),
+                t.column("doc_id_b").to_numpy(zero_copy_only=False)]))}),
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not id_chunks:
         return rd.from_pandas(pd.DataFrame({
             "doc_id_a": np.asarray([], dtype=np.int64),
             "doc_id_b": np.asarray([], dtype=np.int64),
             "jac": np.asarray([], dtype=np.float64)}))
-    ids_ref = ray.put(pa.array(sorted(int(i) for i in cand_ids), pa.int64()))
+    cand_id_arr = np.unique(np.concatenate(id_chunks)).astype(np.int64)
+    ids_ref = ray.put(pa.array(cand_id_arr, pa.int64()))
     n_buckets = 32
 
     # pair halves: (doc_id, doc_id_a, doc_id_b), two rows per pair —
@@ -299,7 +322,7 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
             "text": pa.array([""] * (2 * t.num_rows), pa.string()),
         })
 
-    halves_ds = uniq.map_batches(explode_halves, batch_format="pyarrow")
+    halves_ds = cands.map_batches(explode_halves, batch_format="pyarrow")
 
     # 3. semi-join: stream the corpus, keep candidate docs only (arrow-native
     # so empty filtered blocks don't trip pandas size estimation)
@@ -317,9 +340,13 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
         return df
 
     def attach_texts(group: pd.DataFrame) -> pd.DataFrame:
-        """One doc bucket: join pair-half rows to their doc's text."""
+        """One doc bucket: join pair-half rows to their doc's text. Also
+        drops the duplicate halves of a pair caught by two bands whose keys
+        hashed to different coarse buckets (both copies of a half land here —
+        same doc_id — so a local distinct is a GLOBAL pair dedup)."""
         texts = group[group["doc_id_a"] < 0][["doc_id", "text"]]
-        pairs = group[group["doc_id_a"] >= 0][["doc_id", "doc_id_a", "doc_id_b"]]
+        pairs = (group[group["doc_id_a"] >= 0][["doc_id", "doc_id_a", "doc_id_b"]]
+                 .drop_duplicates())
         out = pairs.merge(texts, on="doc_id", how="inner")
         return out[["doc_id", "doc_id_a", "doc_id_b", "text"]]
 

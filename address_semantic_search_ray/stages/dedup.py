@@ -48,26 +48,66 @@ _A = np.array([int.from_bytes(hashlib.blake2b(b"a%d" % i, digest_size=7).digest(
                for i in range(N_MINHASH)], dtype=np.uint64)
 _B = np.array([int.from_bytes(hashlib.blake2b(b"b%d" % i, digest_size=7).digest(), "big")
                for i in range(N_MINHASH)], dtype=np.uint64)
+# split a = a_hi*2^28 + a_lo so (a*x + b) mod M is EXACT in uint64 (a is 56
+# bits, x = crc32 is 32 — the plain product wraps at 2^64 and silently
+# diverges from the python-int twin in pipelines/naive.py):
+#   a*x mod M = (rot28(a_hi*x mod M) + a_lo*x) mod M,   2^61 ≡ 1 (mod M)
+# where rot28(v) = ((v & (2^33-1)) << 28) + (v >> 33) multiplies by 2^28
+# mod M without overflow (every intermediate < 2^62).
+_A_HI = (_A >> np.uint64(28)).astype(np.uint64)
+_A_LO = (_A & np.uint64((1 << 28) - 1)).astype(np.uint64)
+_MASK33 = np.uint64((1 << 33) - 1)
+
+
+def _hash_matrix(hs: np.ndarray) -> np.ndarray:
+    """(N_MINHASH, n) matrix of (a_i*x_j + b_i) mod MERSENNE, exact."""
+    m = np.uint64(_MERSENNE)
+    ax_hi = (_A_HI[:, None] * hs[None, :]) % m
+    rot = ((ax_hi & _MASK33) << np.uint64(28)) + (ax_hi >> np.uint64(33))
+    return (rot + _A_LO[:, None] * hs[None, :] % m + _B[:, None]) % m
 
 
 def minhash_signature(text: str) -> np.ndarray:
     shingles = _word_shingles(text)
     hs = np.array([zlib.crc32(s.encode()) for s in shingles], dtype=np.uint64)
-    # universal hashing: (a*x + b) mod p, vectorized over (n_hash, n_shingle)
-    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    return _hash_matrix(hs).min(axis=1)
 
 
 def minhash_bands_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """doc -> N_BANDS rows (band_id, band_hash, doc_id)."""
-    rows_band, rows_hash, rows_doc = [], [], []
+    """docs -> N_BANDS rows each (band_id, band_hash, doc_id).
+
+    Signatures for the whole batch come from ONE (n_hash, total_shingles)
+    universal-hash matrix + a segmented ``np.minimum.reduceat`` — value-
+    identical to the per-doc ``minhash_signature`` (min is order-free), but
+    the matrix setup cost is paid once per batch, not once per doc."""
     per_band = N_MINHASH // N_BANDS
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sig = minhash_signature(text)
+    texts = batch["text"].tolist()
+    counts = []
+    chunks = []
+    for t in texts:
+        sh = _word_shingles(t)
+        counts.append(len(sh))
+        chunks.append(np.fromiter((zlib.crc32(s.encode()) for s in sh),
+                                  dtype=np.uint64, count=len(sh)))
+    if not chunks:
+        return pd.DataFrame({"band_id": np.asarray([], dtype=np.int64),
+                             "band_hash": np.asarray([], dtype=np.int64),
+                             "doc_id": np.asarray([], dtype=np.int64)})
+    hs = np.concatenate(chunks)
+    vals = _hash_matrix(hs)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
+    sigs = np.minimum.reduceat(vals, starts, axis=1)  # (N_MINHASH, n_docs)
+    sigs = np.ascontiguousarray(sigs.T)               # (n_docs, N_MINHASH)
+
+    rows_band, rows_hash, rows_doc = [], [], []
+    blake2b = hashlib.blake2b
+    for doc_id, sig in zip(batch["doc_id"], sigs):
         for b in range(N_BANDS):
             seg = sig[b * per_band:(b + 1) * per_band]
             rows_band.append(b)
-            rows_hash.append(int.from_bytes(hashlib.blake2b(seg.tobytes(), digest_size=8).digest(), "big") >> 1)
+            rows_hash.append(int.from_bytes(
+                blake2b(seg.tobytes(), digest_size=8).digest(), "big") >> 1)
             rows_doc.append(doc_id)
     return pd.DataFrame({"band_id": rows_band, "band_hash": rows_hash, "doc_id": rows_doc})
 
@@ -82,6 +122,27 @@ def band_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
             b.append(ids[j])
     return pd.DataFrame({"doc_id_a": np.asarray(a, dtype=np.int64),
                          "doc_id_b": np.asarray(b, dtype=np.int64)})
+
+
+def band_bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """One COARSE band bucket (hash(band_id, band_hash) % n_buckets) holding
+    many exact band keys -> candidate pairs (a<b) for every key inside it.
+
+    The per-key all-pairs loop runs inside ONE Ray group call: a distinct
+    (band_id, band_hash) per ``map_groups`` group would pay Ray's ~5-15 ms
+    per-group Python overhead across tens of thousands of near-singleton
+    keys; a coarse bucket pays it ~n_buckets times total."""
+    pairs = set()
+    for _, g in group.groupby(["band_id", "band_hash"], sort=False):
+        if len(g) < 2:
+            continue
+        ids = sorted(g["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    a_out = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    b_out = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
 
 
 def jaccard(text_a: str, text_b: str) -> float:
