@@ -232,17 +232,31 @@ class ExplainLinker:
     beyond the broadcast budget, run explain per district via the
     checkpointed bucket partitions instead."""
 
-    def __init__(self, index_ref, top_n: int = 2):
+    def __init__(self, index_ref, top_n: int = 2, np_index_ref=None):
         self.index = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
         self.top_n = top_n
+        # optional flat numpy index for the SCAN: per-doc sims are bit-equal
+        # to the python scorer (tests/test_npindex.py), so selecting the
+        # top-N there and running the per-term explain breakdown only on
+        # those <=top_n winners is output-identical and ~district-size/top_n
+        # cheaper. Both indexes list a district's docs in corpus row order,
+        # so stable-sort tie-breaks agree.
+        self.np_index = None
+        if np_index_ref is not None:
+            from ..stages.fused import resolve_index
+
+            self.np_index = resolve_index(np_index_ref)
         import gc
 
         gc.collect()
         gc.freeze()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         from ..kernel.document import doc_from_fields
-        from ..kernel.similarity import find_similar_explain
+        from ..kernel.similarity import (compute_doc_similarity_explain,
+                                         find_similar_explain)
 
         out = {name: [] for name in EXPLAIN_SCHEMA.names}
         for conv_id, turn_idx, mention_idx, key, town, village, road, road_num, residual in zip(
@@ -262,8 +276,25 @@ class ExplainLinker:
             docs, idf = entry
             q = doc_from_fields(-1, town, village, road, road_num, residual,
                                 idf_lookup=idf)
-            for rank, (doc_id, sim, matched) in enumerate(
-                    find_similar_explain(q, docs, top_n=self.top_n)):
+            if self.np_index is not None:
+                sims = self.np_index.score_district(
+                    key, town, village, road, road_num, residual)
+                if sims is None:
+                    continue
+                sims = np.asarray(sims, dtype=np.float64)
+                pos = np.flatnonzero(sims > 0.0)
+                if pos.size == 0:
+                    continue
+                # == find_similar_explain's filter + stable sort desc
+                sel = pos[np.argsort(-sims[pos], kind="stable")][:self.top_n]
+                ranked = []
+                for i in sel:
+                    doc = docs[int(i)]
+                    sim, matched = compute_doc_similarity_explain(q, doc)
+                    ranked.append((doc.id, sim, matched))
+            else:
+                ranked = find_similar_explain(q, docs, top_n=self.top_n)
+            for rank, (doc_id, sim, matched) in enumerate(ranked):
                 for mt in matched:
                     out["conv_id"].append(conv_id)
                     out["turn_idx"].append(turn_idx)
@@ -300,18 +331,31 @@ _build_py_corpus_index = ray.remote(build_py_corpus_index_task)
 
 
 def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
-                  region_dict_path: str | None = None, concurrency: int = 4):
-    """Distributed explain-mode linking over the mentions checkpoint."""
+                  region_dict_path: str | None = None, concurrency: int = 8):
+    """Distributed explain-mode linking over the mentions checkpoint.
+
+    Two broadcast indexes: the flat numpy one drives the per-district scan
+    (vectorized, plasma-mapped zero-copy), the python one supplies the Doc
+    objects the per-term explain breakdown is computed from — only for each
+    mention's <=top_n winners."""
+    from ..pipelines.kg import _build_small_corpus_index
+    from ..stages.interpret import put_region_table
     from .oracle import default_region_dict_path
 
     region_dict_path = region_dict_path or default_region_dict_path()
-    index_ref = _build_py_corpus_index.remote(
-        os.path.join(data_dir, "addresses.parquet"), region_dict_path)
+    addresses_path = os.path.join(data_dir, "addresses.parquet")
+    # an actor pool RESERVES its CPUs: leave >=2 for the read/reduce tasks
+    # or the pipeline livelocks on small clusters
+    n_cpus = int(ray.cluster_resources().get("CPU", concurrency + 2))
+    concurrency = max(2, min(concurrency, n_cpus - 2))
+    index_ref = _build_py_corpus_index.remote(addresses_path, region_dict_path)
+    np_index_ref = _build_small_corpus_index.remote(
+        addresses_path, put_region_table(region_dict_path))
     return rd.read_parquet(
         mentions_dir,
         columns=["conv_id", "turn_idx", "mention_idx", "district_key",
                  "town", "village", "road", "road_num", "residual"],
     ).map_batches(
-        ExplainLinker, fn_constructor_args=(index_ref, top_n),
+        ExplainLinker, fn_constructor_args=(index_ref, top_n, np_index_ref),
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
     )

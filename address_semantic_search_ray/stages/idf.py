@@ -13,9 +13,26 @@ finalize ``map_batches`` via ``ray.put``.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 
 import pyarrow as pa
+
+
+def _ln_elementwise(ratios) -> "np.ndarray":
+    """Elementwise ``math.log`` (libm) over a float64 array, 0.0 for
+    non-positive inputs.
+
+    NOT ``np.log``: numpy's SIMD log differs from libm's in the last ulp
+    (np.log(3.0)=...96 vs math.log(3.0)=...98), and the sequential kernel
+    (``kernel/similarity.py:compute_idf``), the naive oracles and the Java
+    reference (Math.log) all use libm. One ulp here flipped a top-N tie in
+    the explain path; every idf producer must be bit-identical."""
+    import numpy as np
+
+    log = math.log
+    return np.array([log(v) if v > 0.0 else 0.0 for v in ratios.tolist()],
+                    dtype=np.float64)
 
 
 def partial_df_counts(batch: pa.Table) -> pa.Table:
@@ -52,7 +69,7 @@ def driver_idf(corpus_tbl: pa.Table) -> pa.Table:
 
     For the broadcast-index streaming mode the corpus is the SMALL side by
     definition, and a Ray groupby job costs ~3-4 s of fixed latency at every
-    cluster size; this computes the identical values (same np.log / clamp /
+    cluster size; this computes the identical values (same libm-log / clamp /
     forced-2.0 ops as ``build_idf``'s finalize — bit-equal floats) in one
     in-process pass. The big-corpus checkpointed path keeps ``build_idf``."""
     import numpy as np
@@ -72,8 +89,7 @@ def driver_idf(corpus_tbl: pa.Table) -> pa.Table:
         dfs.append(c)
     dfs_arr = np.asarray(dfs, dtype=np.float64)
     n_docs = np.asarray([doc_counts[d] for d in dists], dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        idf = np.log(n_docs / (dfs_arr + 1.0))
+    idf = _ln_elementwise(n_docs / (dfs_arr + 1.0))
     idf = np.maximum(idf, 0.0)
     keys_arr = pa.array(keys, pa.string())
     forced = pc.match_substring_regex(keys_arr, r"^([0-9]+|[A-Za-z]+)$").to_numpy(
@@ -122,8 +138,7 @@ def build_idf(corpus_ds, doc_counts_out: dict | None = None):
         keys = batch.column("term_key")
         dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
         n_docs = np.array([counts.get(d, 0) for d in dists], dtype=np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            idf = np.log(n_docs / (dfs + 1.0))
+        idf = _ln_elementwise(n_docs / (dfs + 1.0))
         idf = np.maximum(idf, 0.0)
         forced = pc.match_substring_regex(keys, r"^([0-9]+|[A-Za-z]+)$").to_numpy(
             zero_copy_only=False)
