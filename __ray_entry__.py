@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
+        "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
         # text analysis
@@ -180,6 +181,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.w, b.w))::DOUBLE
                   / len(list_distinct(list_concat(a.w, b.w))) >= 0.9
+        """,
+        "dedup_ngram_jaccard": """
+            WITH t AS (SELECT doc_id,
+                              list_distinct(list_transform(
+                                  generate_series(1, length(text) - 4),
+                                  i -> substr(text, i, 5))) AS g
+                       FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / len(list_distinct(list_concat(a.g, b.g))), 6) AS jac
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
         """,
         "text_token_count": """
             SELECT doc_id,

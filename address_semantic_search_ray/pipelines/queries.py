@@ -10,6 +10,7 @@ No function calls ``ray.init()`` — the caller owns the session.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -248,6 +249,132 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
     )
 
 
+def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
+    """Char-5-gram Jaccard similarity join — EXACT result of the all-pairs
+    oracle SQL, computed by one of two exact plans picked from the global
+    shingle-df statistics (one tiny aggregate either way):
+
+    - **prefix filter** (SSJoin/PPJoin; real-corpus scale path): with a
+      df-skewed vocabulary each doc ships only its rarest
+      ``|G| - floor(t|G|) + 1`` shingles as postings; docs with Jaccard >= t
+      provably share a prefix shingle, so candidates form per posting list
+      and the shared distributed verify scores each once. Shuffle units are
+      fixed-width posting rows — never documents, never the n^2 pairs.
+    - **dense block scan** (filter-hostile corpora): when the vocabulary is
+      so small that the median shingle appears in >1% of docs (this
+      synthetic corpus: ~6%), NO exact filter can prune — every pair is a
+      candidate — so pruning machinery only adds overhead. Instead a Ray
+      task builds the doc x shingle incidence matrix once (plasma-shared,
+      like the np corpus index), and each streamed block computes its
+      intersection counts against it with one float32 BLAS matmul (counts
+      <= |G| << 2^24, so f32 accumulation is exact). Bounded by the matrix
+      fitting the object store — which a bounded-vocab corpus does by
+      construction."""
+    from ..stages.dedup import (ngram_df_partial, ngram_jaccard,
+                                ngram_prefix_postings,
+                                shingle_bucket_candidate_pairs)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # global shingle document frequency: pre-aggregated per batch, partials
+    # merged driver-side WITHOUT a shuffle — the merged map has to fit the
+    # driver regardless (it's the prefix-order broadcast; the stage docstring
+    # covers capping it for 100 TB vocabularies), so a Ray groupby would pay
+    # an all-to-all for a table that lands on the driver anyway
+    from collections import Counter
+
+    df_counter: Counter = Counter()
+    for b in (docs.map_batches(ngram_df_partial, batch_format="pandas")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        df_counter.update(dict(zip(b.column("shingle").to_pylist(),
+                                   b.column("df").to_pylist())))
+    df_map: dict = dict(df_counter)
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
+    median_df = float(np.median(np.fromiter(df_map.values(), dtype=np.int64,
+                                            count=len(df_map)))) if df_map else 0.0
+    matrix_bytes = n_docs * len(df_map) * 4
+    if median_df > 0.01 * n_docs and matrix_bytes <= 2_000_000_000:
+        return _ngram_jaccard_dense(sf_dir, docs, sorted(df_map), threshold)
+
+    df_ref = ray.put(df_map)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        out = ngram_prefix_postings(batch, ray.get(df_ref), threshold)
+        out["_sb"] = (np.fromiter((zlib.crc32(s.encode()) for s in out["shingle"]),
+                                  dtype=np.uint32, count=len(out))
+                      % np.uint32(32)).astype(np.int64)
+        return out
+
+    cands = (docs.map_batches(postings, batch_format="pandas")
+             .groupby("_sb").map_groups(shingle_bucket_candidate_pairs,
+                                        batch_format="pandas")).materialize()
+    return _verify_candidate_pairs(docs, cands, ngram_jaccard, threshold)
+
+
+def _build_ngram_incidence(path: str, shingles: list):
+    """Ray task: doc x shingle float32 incidence matrix + doc ids + set
+    sizes + doc_id->row map, built off-driver and broadcast via ObjectRef."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import _char_shingles
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=np.int64)
+    sid = {s: i for i, s in enumerate(shingles)}
+    m = np.zeros((len(ids), len(sid)), dtype=np.float32)
+    sizes = np.zeros(len(ids), dtype=np.int64)
+    for r, text in enumerate(tbl.column("text").to_pylist()):
+        g = _char_shingles(text)
+        sizes[r] = len(g)
+        for s in g:
+            m[r, sid[s]] = 1.0
+    return m, ids, sizes, {int(i): r for r, i in enumerate(ids)}
+
+
+_build_ngram_incidence_task = ray.remote(_build_ngram_incidence)
+
+
+def _ngram_jaccard_dense(sf_dir: str, docs, shingles: list, threshold: float):
+    """Exact all-pairs scan as streamed row-blocks x broadcast incidence
+    matrix: inter = block @ M.T (exact integer counts in f32), jac in f64
+    bit-identical to python set arithmetic, keep j>i pairs over threshold."""
+    idx_ref = _build_ngram_incidence_task.remote(_t(sf_dir, "documents"),
+                                                 shingles)
+
+    class DenseScan:
+        def __init__(self):
+            self.m, self.ids, self.sizes, self.row_of = ray.get(idx_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = np.fromiter(
+                (self.row_of[int(i)] for i in batch.column("doc_id").to_pylist()),
+                dtype=np.int64, count=batch.num_rows)
+            inter = (self.m[rows] @ self.m.T).astype(np.int64)
+            union = self.sizes[rows][:, None] + self.sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0,
+                               inter.astype(np.float64) / union, 0.0)
+            keep = (jac >= threshold) & (np.arange(len(self.ids))[None, :]
+                                         > rows[:, None])
+            bi, bj = np.nonzero(keep)
+            a = self.ids[rows[bi]]
+            b = self.ids[bj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pa.table({
+                "doc_id_a": pa.array(lo, pa.int64()),
+                "doc_id_b": pa.array(hi, pa.int64()),
+                "jac": pa.array(np.round(jac[keep], 6), pa.float64()),
+            })
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return docs.map_batches(DenseScan, batch_format="pyarrow",
+                            batch_size=512,
+                            concurrency=max(2, min(8, n_cpus - 2)))
+
+
 def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     """MinHash+LSH near-dup: signature -> band explode -> bucket groupby ->
     candidate pairs -> distributed exact-Jaccard verify.
@@ -285,12 +412,19 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
     cands = (bands.map_batches(add_band_bucket, batch_format="pandas")
              .groupby("_bb").map_groups(band_bucket_candidate_pairs,
                                         batch_format="pandas")).materialize()
+    return _verify_candidate_pairs(docs, cands, jaccard, verify_threshold)
 
-    # the only thing ever collected to the driver is the DISTINCT candidate
-    # id list (distinct per block first, so duplicates never cross the wire —
-    # no extra shuffle for a list that lands on the driver anyway) — pairs
-    # themselves are exploded to half-rows via a map, never collected
-    # (round-2 verdict fix #3)
+
+def _verify_candidate_pairs(docs, cands, sim_fn, threshold: float):
+    """Distributed exact verify of candidate (doc_id_a, doc_id_b) pairs:
+    semi-join the corpus to candidate docs, co-group texts with pair halves
+    by doc bucket, score each pair with ``sim_fn(text_a, text_b)`` in a
+    pair-bucket groupby, keep ``>= threshold``. Shared by every
+    candidate-generation strategy (LSH bands, prefix filter).
+
+    Only the DISTINCT candidate id list is ever collected to the driver
+    (bounded by the near-dup count, tiny next to the corpus); pairs are
+    exploded to half-rows via a map, never collected."""
     id_chunks = [
         b.column("doc_id").to_numpy(zero_copy_only=False)
         for b in cands.map_batches(
@@ -365,8 +499,8 @@ def dedup_minhash_lsh(sf_dir: str, verify_threshold: float = 0.7):
             texts = g.sort_values("doc_id")["text"].tolist()
             if len(texts) != 2:
                 continue  # candidate doc missing from corpus (can't happen)
-            jac = round(jaccard(texts[0], texts[1]), 6)
-            if jac >= verify_threshold:
+            jac = round(sim_fn(texts[0], texts[1]), 6)
+            if jac >= threshold:
                 a_out.append(int(a)); b_out.append(int(b)); j_out.append(jac)
         return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
                              "doc_id_b": np.asarray(b_out, dtype=np.int64),

@@ -280,3 +280,76 @@ def wordset_jaccard_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame
     return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
                          "doc_id_b": np.asarray(b_out, dtype=np.int64),
                          "jac": np.asarray(j_out, dtype=np.float64)})
+
+
+# -- char-n-gram Jaccard similarity join (prefix filter) --------------------
+
+NGRAM_N = 5
+
+
+def _char_shingles(text: str, n: int = NGRAM_N) -> set:
+    return {text[i:i + n] for i in range(len(text) - n + 1)}
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = NGRAM_N) -> float:
+    """Char-n-gram set Jaccard — the verify kernel AND the oracle formula."""
+    sa, sb = _char_shingles(text_a, n), _char_shingles(text_b, n)
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def ngram_df_partial(batch: pd.DataFrame, n: int = NGRAM_N) -> pd.DataFrame:
+    """Per-batch partial document frequency of every distinct char-n-gram
+    (the pre-aggregate for the global df order the prefix filter sorts by)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in batch["text"]:
+        counts.update(_char_shingles(text, n))
+    return pd.DataFrame({"shingle": list(counts.keys()),
+                         "df": np.fromiter(counts.values(), dtype=np.int64,
+                                           count=len(counts))})
+
+
+def ngram_prefix_postings(batch: pd.DataFrame, df_map: dict, threshold: float,
+                          n: int = NGRAM_N) -> pd.DataFrame:
+    """(shingle, doc_id) postings for each doc's PREFIX shingles only.
+
+    Prefix filtering (SSJoin/PPJoin): with every doc's shingle set sorted by
+    one global total order — here (df, shingle), rarest first — two docs with
+    Jaccard >= t MUST share a shingle within their first
+    ``|G| - ceil(t*|G|) + 1`` shingles, so only prefix postings need to
+    shuffle. Rarity order makes hot shingles land in the suffix, keeping
+    posting lists (and the quadratic pair expansion within them) short.
+    At 100 TB the df map broadcast is the constraint: cap it to the light
+    tail (order by (min(df, cap), shingle) — still a consistent total order)
+    rather than shipping the full vocabulary."""
+    shingles_out, ids_out = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        g = sorted(_char_shingles(text, n),
+                   key=lambda s: (df_map.get(s, 1), s))
+        if not g:
+            continue
+        # floor instead of ceil: a one-longer prefix is always safe
+        p = len(g) - int(threshold * len(g)) + 1
+        shingles_out.extend(g[:p])
+        ids_out.extend([doc_id] * min(p, len(g)))
+    return pd.DataFrame({"shingle": shingles_out,
+                         "doc_id": np.asarray(ids_out, dtype=np.int64)})
+
+
+def shingle_bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """One coarse shingle bucket -> candidate pairs (a<b) per exact shingle.
+    Same Ray-group amortization trick as ``band_bucket_candidate_pairs``."""
+    pairs = set()
+    for _, g in group.groupby("shingle", sort=False):
+        if len(g) < 2:
+            continue
+        ids = sorted(g["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    a_out = np.fromiter((p[0] for p in pairs), dtype=np.int64, count=len(pairs))
+    b_out = np.fromiter((p[1] for p in pairs), dtype=np.int64, count=len(pairs))
+    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})

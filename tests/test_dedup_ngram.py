@@ -1,0 +1,104 @@
+"""Char-n-gram Jaccard similarity join: both exact plans vs brute force.
+
+The adaptive plan switch routes the driver's vocab-starved synthetic
+documents through the dense block scan (median shingle df ~6% of docs), so
+the prefix-filter path is exercised here on a df-SKEWED corpus (random hex
+docs: median df == 1), which is the regime the 100 TB design targets.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from address_semantic_search_ray.stages.dedup import _char_shingles
+
+
+def _brute_force(ids, texts, threshold):
+    sets = [_char_shingles(t) for t in texts]
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, round(jac, 6)))
+    return out
+
+
+def _result_set(ds):
+    df = ds.to_pandas()
+    return set(zip(df["doc_id_a"].astype(int), df["doc_id_b"].astype(int),
+                   df["jac"].round(6)))
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(tmp_path_factory):
+    """300 random-hex docs (shingles unique, median df=1) + 12 planted
+    near-dup pairs at jac ~0.7-0.95."""
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("0123456789abcdef") for _ in range(200))
+             for _ in range(300)]
+    for k in range(12):
+        base = texts[k]
+        pos = rng.randrange(0, 180)
+        mutated = base[:pos] + rng.choice("ghijkl") + base[pos + 1:]
+        texts.append(mutated)
+    ids = list(range(len(texts)))
+    d = tmp_path_factory.mktemp("ngram")
+    path = os.path.join(str(d), "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}), path)
+    return str(d), ids, texts
+
+
+def test_prefix_filter_path_matches_brute_force(ray_session, skewed_corpus):
+    from address_semantic_search_ray.pipelines.queries import dedup_ngram_jaccard
+
+    sf_dir, ids, texts = skewed_corpus
+    got = _result_set(dedup_ngram_jaccard(sf_dir, threshold=0.5))
+    want = _brute_force(ids, texts, 0.5)
+    assert len(want) >= 12  # the planted pairs are actually above threshold
+    assert got == want
+
+
+def test_dense_path_matches_brute_force(ray_session, skewed_corpus):
+    from address_semantic_search_ray.pipelines.queries import (
+        _ngram_jaccard_dense, _read)
+    from collections import Counter
+
+    sf_dir, ids, texts = skewed_corpus
+    df: Counter = Counter()
+    for t in texts:
+        df.update(_char_shingles(t))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    got = _result_set(_ngram_jaccard_dense(sf_dir, docs, sorted(df), 0.5))
+    assert got == _brute_force(ids, texts, 0.5)
+
+
+def test_adaptive_switch_routes_by_df_shape(skewed_corpus):
+    """Median df=1 on the skewed corpus -> prefix; the driver's synthetic
+    documents (median df ~6% of docs) -> dense."""
+    from collections import Counter
+
+    _, _, texts = skewed_corpus
+    df: Counter = Counter()
+    for t in texts:
+        df.update(_char_shingles(t))
+    med = float(np.median(np.fromiter(df.values(), dtype=np.int64)))
+    assert med <= 0.01 * len(texts)  # routes prefix
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["text"])
+    df2: Counter = Counter()
+    for t in tbl.column("text").to_pylist():
+        df2.update(_char_shingles(t))
+    med2 = float(np.median(np.fromiter(df2.values(), dtype=np.int64)))
+    assert med2 > 0.01 * tbl.num_rows  # routes dense
