@@ -27,7 +27,8 @@ BENCH_QUERIES = (
     "pricing_summary", "topk_orders", "topk_per_group", "customer_nation_join",
     "asof_join_events_orders", "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "text_token_count", "text_quality",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
     "similarity_topk_ivf", "embedding_near_dup", "embedding_near_dup_lsh",
     "multimodal_image_meta", "kg_links_explain",
