@@ -71,11 +71,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
+        "dedup_clusters": q.dedup_clusters,
+        "split_assign": q.split_assign,
         # text analysis
         "text_token_count": q.text_token_count,
         "text_quality": q.text_quality,
         "text_lang_id": q.text_lang_id,
         "text_fingerprint": q.text_fingerprint,
+        "token_quantiles": q.token_quantiles,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -194,6 +197,48 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.g, b.g))::DOUBLE
                   / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(text, i, 5))) AS g
+                   FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u)
+            SELECT u AS doc_id, least(u, min(v))::BIGINT AS canonical_id
+            FROM reach GROUP BY u
+        """,
+        "token_quantiles": """
+            WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens
+                       FROM documents)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   quantile_disc(n_tokens, 0.25)::BIGINT AS p25,
+                   quantile_disc(n_tokens, 0.5)::BIGINT AS p50,
+                   quantile_disc(n_tokens, 0.75)::BIGINT AS p75,
+                   quantile_disc(n_tokens, 0.9)::BIGINT AS p90,
+                   quantile_disc(n_tokens, 0.99)::BIGINT AS p99
+            FROM t GROUP BY lang
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                       % 100)::BIGINT AS bucket,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                             % 100 < 90 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                             % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -538,7 +538,146 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         batch_format="pandas")
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Connected components over the exact n-gram near-dup graph: every doc
+    that appears in a near-dup pair is assigned its cluster's canonical id
+    (the minimum doc_id reachable through near-dup edges) — the "keep one
+    doc per duplicate cluster" primitive a training-data dedup ends with.
+
+    Distributed min-label propagation over the PAIR graph only (bounded by
+    the near-dup count, never the corpus): each round co-groups the static
+    edges with the current labels by node bucket (pandas groupby inside —
+    Ray pays per bucket, not per node), pushes every node's label to its
+    neighbors, and folds the candidates with a bucketed min. Convergence
+    (O(graph diameter) rounds; near-dup clusters are shallow) is detected
+    from the label-sum aggregate — a scalar per round that strictly
+    decreases until fixpoint."""
+    pairs = dedup_ngram_jaccard(sf_dir, threshold=threshold).materialize()
+    if pairs.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.asarray([], dtype=np.int64),
+            "canonical_id": np.asarray([], dtype=np.int64)}))
+
+    n_buckets = 32
+    sentinel = np.int64(2**62)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id_a"].to_numpy()
+        b = df["doc_id_b"].to_numpy()
+        node = np.concatenate([a, b])
+        # pandas blocks so the per-round union with the labels dataset
+        # (also pandas) stays homogeneous — Ray refuses mixed block types
+        return pd.DataFrame({"node": node, "peer": np.concatenate([b, a]),
+                             "label": np.full(len(node), sentinel),
+                             "_b": node % n_buckets})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def shape_labels(df: pd.DataFrame, clip: bool) -> pd.DataFrame:
+        node = df["node"].to_numpy()
+        lab = df["label"].to_numpy()
+        return pd.DataFrame({"node": node,
+                             "peer": np.full(len(node), -1, dtype=np.int64),
+                             "label": np.minimum(lab, node) if clip else lab,
+                             "_b": node % n_buckets})
+
+    labels = (edges.groupby("node").aggregate(Min("peer", alias_name="label"))
+              .map_batches(lambda df: shape_labels(df, True),
+                           batch_format="pandas").materialize())
+
+    def label_sum(ds) -> int:
+        return int(ds.aggregate(Sum("label"))["sum(label)"])
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        """One node bucket: label rows (peer<0) + edge rows (peer>=0)."""
+        lab = group[group["peer"] < 0].set_index("node")["label"]
+        e = group[group["peer"] >= 0]
+        nodes = np.concatenate([e["peer"].to_numpy(), lab.index.to_numpy()])
+        labs = np.concatenate([lab.loc[e["node"]].to_numpy(), lab.to_numpy()])
+        out = pd.DataFrame({"node": nodes, "label": labs})
+        return out.groupby("node", sort=False, as_index=False)["label"].min()
+
+    prev = label_sum(labels)
+    for _ in range(64):  # O(diameter) rounds; 64 is a generous backstop
+        cand = (edges.union(labels)
+                .groupby("_b").map_groups(propagate, batch_format="pandas"))
+        labels = (cand.groupby("node").aggregate(Min("label", alias_name="label"))
+                  .map_batches(lambda df: shape_labels(df, False),
+                               batch_format="pandas").materialize())
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                                 "canonical_id": df["label"].astype(np.int64)}),
+        batch_format="pandas")
+
+
 # -- text analysis ---------------------------------------------------------
+
+def token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles (p25/p50/p75/p90/p99) via a
+    distributed histogram: token counts are small integers, so the partial
+    (lang, n_tokens) -> count histogram inside map_batches bounds the single
+    shuffle at (languages x distinct counts) rows regardless of corpus size;
+    quantiles fold from cumulative counts with DuckDB's quantile_disc index
+    rule (1-based ceil(q*n), probed exact for these q values)."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.count(" ").to_numpy() + 1
+        out = (pd.DataFrame({"lang": df["lang"], "n_tokens": n_tok})
+               .groupby(["lang", "n_tokens"], sort=False, as_index=False)
+               .agg(cnt=("n_tokens", "size")))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    hist = (ds.map_batches(partial_hist, batch_format="pandas")
+            .groupby(["lang", "n_tokens"])
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = group.sort_values("n_tokens")
+        vals = g["n_tokens"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {"lang": g["lang"].iloc[0], "n_docs": np.int64(n)}
+        for q in qs:
+            idx = max(1, math.ceil(q * n))
+            row[f"p{int(q * 100)}"] = np.int64(vals[np.searchsorted(cum, idx)])
+        return pd.DataFrame([row])
+
+    return hist.groupby("lang").map_groups(fold, batch_format="pandas")
+
+
+def split_assign(sf_dir: str, train: int = 90, val: int = 5):
+    """Deterministic, reshuffle-free train/val/test assignment: bucket =
+    md5(doc_id) mod 100, split by bucket range. Pure map — no shuffle, no
+    state, stable under re-runs and corpus growth (a doc's split never
+    changes when other docs are added), which is what a 100 TB training-data
+    pipeline needs from its splitter."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in df["doc_id"]),
+            dtype=np.int64, count=len(df))
+        split = np.where(buckets < train, "train",
+                         np.where(buckets < train + val, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "bucket": buckets, "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
 
 def text_token_count(sf_dir: str):
     from ..stages.text import token_count_batch
@@ -795,7 +934,11 @@ def _kg_artifacts(sf_dir: str) -> dict:
     sf = _sf_of(sf_dir)
     data_dir = ensure_dataset(sf, root=SYNTH_ROOT)
     work = os.path.join(WORK_ROOT, f"sf{sf:g}")
-    return run_kg_pipeline(data_dir, work, concurrency=4, salt=2)
+    # size the (resumable) artifact build to the session's cluster — a cold
+    # cache at sf0.1 otherwise pays a whole checkpointed run at 4 actors
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return run_kg_pipeline(data_dir, work,
+                           concurrency=max(2, min(24, n_cpus - 4)), salt=2)
 
 
 def _ensure_kg_naive(sf_dir: str):

@@ -102,3 +102,61 @@ def test_adaptive_switch_routes_by_df_shape(skewed_corpus):
         df2.update(_char_shingles(t))
     med2 = float(np.median(np.fromiter(df2.values(), dtype=np.int64)))
     assert med2 > 0.01 * tbl.num_rows  # routes dense
+
+
+def _uf_canonical(ids, texts, threshold):
+    """Union-find over brute-force pairs -> {doc_id: min reachable id},
+    only for docs in >=1 pair."""
+    pairs = _brute_force(ids, texts, threshold)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_clusters_matches_union_find(ray_session, skewed_corpus):
+    from address_semantic_search_ray.pipelines.queries import dedup_clusters
+
+    sf_dir, ids, texts = skewed_corpus
+    df = dedup_clusters(sf_dir, threshold=0.5).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["canonical_id"].astype(int)))
+    assert got == _uf_canonical(ids, texts, 0.5)
+
+
+def test_dedup_clusters_propagates_multi_hop(ray_session, tmp_path):
+    """B ~ A ~ C with jac(B, C) < threshold: the cluster closes only through
+    label propagation (2 hops), not through any single pair."""
+    rng = random.Random(11)
+    s = "".join(rng.choice("0123456789abcdef") for _ in range(400))
+    a = s
+    b = "".join(rng.choice("ghijkl") for _ in range(90)) + s[90:]
+    c = s[:300] + "".join(rng.choice("ghijkl") for _ in range(90)) + s[390:]
+    texts = [a, b, c] + ["".join(rng.choice("0123456789abcdef")
+                                 for _ in range(400)) for _ in range(40)]
+    ids = list(range(len(texts)))
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}), path)
+
+    want = _uf_canonical(ids, texts, 0.5)
+    # the premise: A-B and A-C are edges, B-C is not
+    pairs = {(x, y) for x, y, _ in _brute_force(ids, texts, 0.5)}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) not in pairs
+    assert want == {0: 0, 1: 0, 2: 0}
+
+    from address_semantic_search_ray.pipelines.queries import dedup_clusters
+
+    df = dedup_clusters(str(tmp_path), threshold=0.5).to_pandas()
+    got = dict(zip(df["doc_id"].astype(int), df["canonical_id"].astype(int)))
+    assert got == want
