@@ -326,11 +326,16 @@ def _build_ngram_incidence(path: str, shingles: list):
     sid = {s: i for i, s in enumerate(shingles)}
     m = np.zeros((len(ids), len(sid)), dtype=np.float32)
     sizes = np.zeros(len(ids), dtype=np.int64)
+    rows_out, cols_out = [], []
     for r, text in enumerate(tbl.column("text").to_pylist()):
         g = _char_shingles(text)
         sizes[r] = len(g)
-        for s in g:
-            m[r, sid[s]] = 1.0
+        rows_out.append(np.full(len(g), r, dtype=np.int64))
+        cols_out.append(np.fromiter((sid[s] for s in g), dtype=np.int64,
+                                    count=len(g)))
+    if rows_out:
+        # one vectorized scatter instead of a per-(doc, shingle) store loop
+        m[np.concatenate(rows_out), np.concatenate(cols_out)] = 1.0
     return m, ids, sizes, {int(i): r for r, i in enumerate(ids)}
 
 

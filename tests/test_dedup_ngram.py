@@ -160,3 +160,43 @@ def test_dedup_clusters_propagates_multi_hop(ray_session, tmp_path):
     df = dedup_clusters(str(tmp_path), threshold=0.5).to_pandas()
     got = dict(zip(df["doc_id"].astype(int), df["canonical_id"].astype(int)))
     assert got == want
+
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from address_semantic_search_ray.stages.dedup import ngram_prefix_postings
+import pandas as pd
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abcdef"), min_size=0, max_size=40),
+        min_size=2, max_size=12),
+    threshold=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_prefix_filter_completeness_property(texts, threshold):
+    """The prefix filter must NEVER lose a qualifying pair: any two docs
+    with char-5-gram Jaccard >= t share at least one shingle that BOTH
+    emitted as a prefix posting (tiny alphabet = worst case: heavy shingle
+    sharing, short docs, empty docs, exact duplicates)."""
+    df: Counter = Counter()
+    sets = [_char_shingles(t) for t in texts]
+    for s in sets:
+        df.update(s)
+    batch = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    post = ngram_prefix_postings(batch, dict(df), threshold)
+    emitted = {}
+    for sh, d in zip(post["shingle"], post["doc_id"]):
+        emitted.setdefault(int(d), set()).add(sh)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold and union > 0:
+                shared = emitted.get(i, set()) & emitted.get(j, set())
+                assert shared, (texts[i], texts[j], jac, threshold)
