@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": q.text_lang_id,
         "text_fingerprint": q.text_fingerprint,
         "token_quantiles": q.token_quantiles,
+        "decontaminate": q.decontaminate,
+        "stratified_sample": q.stratified_sample,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -239,6 +241,37 @@ def oracle_sql() -> dict[str, str]:
                              % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "decontaminate": """
+            WITH s AS (SELECT doc_id,
+                         (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                             % 100) AS b
+                       FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, len(ws) - 12),
+                      i -> array_to_string(ws[i:i+12], ' '))) AS g
+                  FROM w WHERE len(ws) >= 13),
+            bench AS (SELECT DISTINCT unnest(g.g) AS sh
+                      FROM g JOIN s USING (doc_id) WHERE s.b >= 95),
+            tr AS (SELECT g.doc_id,
+                          CASE WHEN s.b < 90 THEN 'train' ELSE 'val' END AS split,
+                          g.g
+                   FROM g JOIN s USING (doc_id) WHERE s.b < 95),
+            cont AS (SELECT DISTINCT t.doc_id
+                     FROM (SELECT doc_id, unnest(g) AS sh FROM tr) t
+                     JOIN bench USING (sh))
+            SELECT doc_id, split,
+                   doc_id IN (SELECT doc_id FROM cont) AS contaminated
+            FROM tr
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+                FROM documents) t
+            WHERE rn <= 20
         """,
         "text_token_count": """
             SELECT doc_id,

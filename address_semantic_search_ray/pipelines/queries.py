@@ -684,6 +684,81 @@ def split_assign(sf_dir: str, train: int = 90, val: int = 5):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def decontaminate(sf_dir: str, n_words: int = 13, train: int = 90, val: int = 5):
+    """Benchmark decontamination, the GPT-3/Pile recipe: flag every
+    train/val document sharing a 13-WORD shingle with the held-out test
+    split (the ``split_assign`` md5 buckets >= train+val). Docs shorter
+    than the window have no shingles and are excluded, matching the oracle.
+
+    Scale shape: the benchmark is SMALL by definition, so its shingle set
+    is collected once and broadcast (``ray.put``); the corpus then streams
+    through a pure map that probes the set — no shuffle, no join, corpus
+    never materializes. This is the textbook 100 TB decontamination plan."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    test_lo = train + val
+
+    def bucket_of(doc_id) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    def word_shingles(text: str):
+        ws = text.split(" ")
+        return {" ".join(ws[i:i + n_words])
+                for i in range(len(ws) - n_words + 1)} if len(ws) >= n_words else set()
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            if bucket_of(doc_id) >= test_lo:
+                out |= word_shingles(text)
+        return pd.DataFrame({"sh": sorted(out)})
+
+    bench: set = set()
+    for b in (docs.map_batches(bench_partial, batch_format="pandas")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        bench.update(b.column("sh").to_pylist())
+    bench_ref = ray.put(frozenset(bench))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        ids, splits, flags = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            bkt = bucket_of(doc_id)
+            if bkt >= test_lo:
+                continue
+            g = word_shingles(text)
+            if not g:
+                continue
+            ids.append(doc_id)
+            splits.append("train" if bkt < train else "val")
+            flags.append(not bset.isdisjoint(g))
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "split": splits,
+                             "contaminated": np.asarray(flags, dtype=bool)})
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic per-language sample: the first k docs per lang in
+    (md5(doc_id), doc_id) order — reproducible under re-runs and corpus
+    growth within a group. Groups here are the ~5-value lang column; for
+    high-cardinality strata use the crc32-bucketed groupby pattern
+    (``topk_per_group``)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in group["doc_id"]]
+        g = group.assign(_h=h).sort_values(["_h", "doc_id"]).head(k)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "lang": g["lang"]})
+
+    return ds.groupby("lang").map_groups(rank, batch_format="pandas")
+
+
 def text_token_count(sf_dir: str):
     from ..stages.text import token_count_batch
 

@@ -29,6 +29,7 @@ BENCH_QUERIES = (
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "token_quantiles", "split_assign",
+    "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
     "similarity_topk_ivf", "embedding_near_dup", "embedding_near_dup_lsh",
