@@ -200,3 +200,18 @@ def test_prefix_filter_completeness_property(texts, threshold):
             if jac >= threshold and union > 0:
                 shared = emitted.get(i, set()) & emitted.get(j, set())
                 assert shared, (texts[i], texts[j], jac, threshold)
+
+
+def test_degenerate_corpus_short_texts(ray_session, tmp_path):
+    """Texts shorter than the shingle window: no shingles, no pairs, no
+    clusters — every stage must return empty cleanly (prefix path, since
+    the df map is empty)."""
+    texts = ["ab", "cd", "", "abcd", "x"]
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                             "text": pa.array(texts, pa.string())}), path)
+    from address_semantic_search_ray.pipelines.queries import (
+        dedup_clusters, dedup_ngram_jaccard)
+
+    assert dedup_ngram_jaccard(str(tmp_path)).to_pandas().empty
+    assert dedup_clusters(str(tmp_path)).to_pandas().empty
