@@ -142,14 +142,30 @@ def events_hourly(sf_dir: str):
     """Tumbling 1h window per event_type (groupby on derived window key)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def window_key(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["hour"] = batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
-        return batch[["event_type", "hour", "value"]]
+    def window_partials(batch: pa.Table) -> pa.Table:
+        # arrow-native window key (pandas .dt.strftime is a per-row python
+        # call — it alone cost ~4 s of the 5.7 s at sf0.1) + the local
+        # (event_type, hour) partial combine so the shuffle moves one row
+        # per key per block, not raw events (the stages/idf.py pattern)
+        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": hour.to_pandas(),
+            "value": batch.column("value").to_pandas(),
+        })
+        part = df.groupby(["event_type", "hour"], sort=False,
+                          as_index=False).agg(n=("value", "size"),
+                                              sum_value=("value", "sum"))
+        part["n"] = part["n"].astype(np.int64)
+        return pa.Table.from_pandas(part, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     out = (
-        ds.map_batches(window_key, batch_format="pandas")
+        ds.map_batches(window_partials, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"))
     )
 
     def round_cols(df: pd.DataFrame) -> pd.DataFrame:
