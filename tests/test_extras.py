@@ -218,6 +218,7 @@ def test_simhash_pair_blocks_match_unblocked():
             got = dd.seg_pairs_vec(g, 3)
         finally:
             dd._PAIR_BLOCK_BYTES = old
+        got = got.to_pandas()  # seg_pairs_vec emits an Arrow shuffle block
         got_rows = sorted(zip(got["doc_id_a"], got["doc_id_b"], got["hamming"]))
         assert [(int(a), int(b), int(h)) for a, b, h in got_rows] == naive(g, 3)
 
