@@ -301,33 +301,69 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    # global shingle document frequency: pre-aggregated per batch, partials
-    # merged driver-side WITHOUT a shuffle — the merged map has to fit the
-    # driver regardless (it's the prefix-order broadcast; the stage docstring
-    # covers capping it for 100 TB vocabularies), so a Ray groupby would pay
-    # an all-to-all for a table that lands on the driver anyway
-    from collections import Counter
+    # global shingle document frequency: pre-aggregated per batch (partial
+    # Counters inside map_batches), then ONE distributed groupby(shingle).sum
+    # — the full vocabulary never lands on the driver (a real crawl corpus
+    # has billions of distinct 5-grams). Plan statistics (vocab size, median
+    # df) fold from a tiny (df -> count) histogram of that aggregate, and
+    # only the bounded HEAVY head is broadcast for the prefix order.
+    df_agg = (docs.map_batches(ngram_df_partial, batch_format="pandas")
+              .groupby("shingle").aggregate(Sum("df", alias_name="df"))
+              ).materialize()
 
-    df_counter: Counter = Counter()
-    for b in (docs.map_batches(ngram_df_partial, batch_format="pandas")
-              .iter_batches(batch_size=None, batch_format="pyarrow")):
-        df_counter.update(dict(zip(b.column("shingle").to_pylist(),
-                                   b.column("df").to_pylist())))
-    df_map: dict = dict(df_counter)
+    def df_hist(h: pd.DataFrame) -> pd.DataFrame:
+        out = h.groupby("df", as_index=False).agg(cnt=("df", "size"))
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return _arrow(out)
+
+    hist = (df_agg.map_batches(df_hist, batch_format="pandas")
+            .groupby("df").aggregate(Sum("cnt", alias_name="cnt"))).to_pandas()
+    if "df" not in hist.columns:  # degenerate corpus: zero shingles anywhere
+        hist = pd.DataFrame({"df": [], "cnt": []})
+    hist = hist.sort_values("df").reset_index(drop=True)
+    vocab = int(hist["cnt"].sum()) if len(hist) else 0
 
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows
-    median_df = float(np.median(np.fromiter(df_map.values(), dtype=np.int64,
-                                            count=len(df_map)))) if df_map else 0.0
-    matrix_bytes = n_docs * len(df_map) * 4
+    if vocab:
+        # exact np.median of the df multiset, from the histogram
+        cum = hist["cnt"].to_numpy().cumsum()
+        vals = hist["df"].to_numpy(dtype=np.float64)
+        if vocab % 2:
+            median_df = float(vals[np.searchsorted(cum, vocab // 2 + 1)])
+        else:
+            median_df = (float(vals[np.searchsorted(cum, vocab // 2)])
+                         + float(vals[np.searchsorted(cum, vocab // 2 + 1)])) / 2.0
+    else:
+        median_df = 0.0
+    matrix_bytes = n_docs * vocab * 4
     if median_df > 0.01 * n_docs and matrix_bytes <= 2_000_000_000:
-        return _ngram_jaccard_dense(sf_dir, docs, sorted(df_map), threshold)
+        # dense plan needs the full vocabulary list — bounded by the same
+        # matrix-bytes budget that gates this branch
+        shingles = sorted(
+            s for b in df_agg.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+            for s in b.column("shingle").to_pylist())
+        return _ngram_jaccard_dense(sf_dir, docs, shingles, threshold)
 
-    df_ref = ray.put(df_map)
+    # heavy-head broadcast (stage docstring): only shingles with df > cap
+    # ship to the actors — by pigeonhole <= total_postings/cap entries, a
+    # bound independent of vocabulary size; absent shingles get order key
+    # (cap, shingle), below every heavy one, so hot shingles sort LAST and
+    # no prefix posting list exceeds cap docs
+    cap = max(2, n_docs // 256)
+    heavy: dict = {}
+    for b in (df_agg
+              .map_batches(lambda t: t.filter(pc.greater(t.column("df"), cap)),
+                           batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        heavy.update(zip(b.column("shingle").to_pylist(),
+                         b.column("df").to_pylist()))
+    df_ref = ray.put(heavy)
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
-        out = ngram_prefix_postings(batch, ray.get(df_ref), threshold)
+        out = ngram_prefix_postings(batch, ray.get(df_ref), threshold, cap=cap)
         out["_sb"] = (np.fromiter((zlib.crc32(s.encode()) for s in out["shingle"]),
                                   dtype=np.uint32, count=len(out))
                       % np.uint32(32)).astype(np.int64)
@@ -529,9 +565,14 @@ def _verify_candidate_pairs(docs, cands, sim_fn, threshold: float):
             texts = g.sort_values("doc_id")["text"].tolist()
             if len(texts) != 2:
                 continue  # candidate doc missing from corpus (can't happen)
-            jac = round(sim_fn(texts[0], texts[1]), 6)
+            # threshold on the UNROUNDED value (matches the oracle SQL and
+            # the dense-scan plan); round only for output — rounding first
+            # would keep a pair with true jac in [t-5e-7, t) that the other
+            # plan excludes (ADVICE r3)
+            jac = sim_fn(texts[0], texts[1])
             if jac >= threshold:
-                a_out.append(int(a)); b_out.append(int(b)); j_out.append(jac)
+                a_out.append(int(a)); b_out.append(int(b))
+                j_out.append(round(jac, 6))
         return pd.DataFrame({"doc_id_a": np.asarray(a_out, dtype=np.int64),
                              "doc_id_b": np.asarray(b_out, dtype=np.int64),
                              "jac": np.asarray(j_out, dtype=np.float64)})
@@ -631,7 +672,11 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
                                   as_index=False)["label"].min())
 
     prev = label_sum(labels)
-    for _ in range(64):  # O(diameter) rounds; 64 is a generous backstop
+    converged = False
+    # O(diameter) rounds; near-dup clusters are shallow, but a silent cap
+    # would return wrong canonical_ids on a deep chain (ADVICE r3) — so the
+    # backstop is generous AND non-convergence is an error, never a result
+    for _ in range(4096):
         cand = (edges.union(labels)
                 .groupby("_b").map_groups(propagate, batch_format="pandas"))
         labels = (cand.groupby("node").aggregate(Min("label", alias_name="label"))
@@ -639,8 +684,13 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
                                batch_format="pandas").materialize())
         cur = label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not reach fixpoint "
+            "within 4096 rounds (near-dup graph diameter > 4096?)")
 
     return labels.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["node"].astype(np.int64),

@@ -323,22 +323,29 @@ def ngram_df_partial(batch: pd.DataFrame, n: int = NGRAM_N) -> pd.DataFrame:
 
 
 def ngram_prefix_postings(batch: pd.DataFrame, df_map: dict, threshold: float,
-                          n: int = NGRAM_N) -> pd.DataFrame:
+                          n: int = NGRAM_N, cap: int | None = None) -> pd.DataFrame:
     """(shingle, doc_id) postings for each doc's PREFIX shingles only.
 
     Prefix filtering (SSJoin/PPJoin): with every doc's shingle set sorted by
-    one global total order — here (df, shingle), rarest first — two docs with
-    Jaccard >= t MUST share a shingle within their first
+    one global total order — here (clamped df, shingle), rarest first — two
+    docs with Jaccard >= t MUST share a shingle within their first
     ``|G| - ceil(t*|G|) + 1`` shingles, so only prefix postings need to
     shuffle. Rarity order makes hot shingles land in the suffix, keeping
     posting lists (and the quadratic pair expansion within them) short.
-    At 100 TB the df map broadcast is the constraint: cap it to the light
-    tail (order by (min(df, cap), shingle) — still a consistent total order)
-    rather than shipping the full vocabulary."""
+
+    ``cap`` bounds the broadcast for 100 TB vocabularies: ``df_map`` then
+    holds ONLY the heavy head (df > cap — by pigeonhole at most
+    total_postings/cap entries, a bound independent of vocabulary size) and
+    every absent (light) shingle gets order key (cap, shingle) — below every
+    heavy shingle, so hot shingles still sort LAST and posting lists for
+    prefix shingles stay <= cap docs. Completeness needs only a globally
+    consistent total order, which any clamp preserves. ``cap=None`` keeps
+    the exact (df, shingle) order for full maps (tests/small corpora)."""
+    default = 1 if cap is None else cap
     shingles_out, ids_out = [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
         g = sorted(_char_shingles(text, n),
-                   key=lambda s: (df_map.get(s, 1), s))
+                   key=lambda s: (df_map.get(s, default), s))
         if not g:
             continue
         # floor instead of ceil: a one-longer prefix is always safe

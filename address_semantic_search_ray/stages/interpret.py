@@ -42,11 +42,24 @@ def region_state_bytes(region_dict_path: str) -> bytes:
         ms = os.stat(mod.__file__)    # after a kernel change must miss
         parts.append(f"{ms.st_size}:{ms.st_mtime_ns}")
     key = hashlib.blake2b("|".join(parts).encode(), digest_size=10).hexdigest()
-    cache_dir = os.environ.get("ASR_TRIE_CACHE", "/tmp/asr_trie_cache")
+    # per-user cache dir, mode 0700: a world-writable shared path would let
+    # another local user pre-plant a pickle under a derivable key (the key is
+    # a pure function of file sizes/mtimes) — arbitrary code execution at
+    # unpickle time. Ownership of dir AND file is verified before reading.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    cache_dir = os.environ.get(
+        "ASR_TRIE_CACHE",
+        os.path.join(tempfile.gettempdir(), f"asr_trie_cache-{uid}"))
     cache_path = os.path.join(cache_dir, f"trie-{key}.pkl")
+
+    def _owned(path: str) -> bool:
+        st_p = os.stat(path)
+        return not hasattr(os, "getuid") or st_p.st_uid == os.getuid()
+
     try:
-        with open(cache_path, "rb") as f:
-            return f.read()
+        if _owned(cache_dir) and _owned(cache_path):
+            with open(cache_path, "rb") as f:
+                return f.read()
     except OSError:
         pass
 
@@ -57,7 +70,7 @@ def region_state_bytes(region_dict_path: str) -> bytes:
     trie = Interpreter(regions).trie
     payload = pickle.dumps((regions, trie), protocol=5)
     try:
-        os.makedirs(cache_dir, exist_ok=True)
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cache_dir)
         with os.fdopen(fd, "wb") as f:
             f.write(payload)

@@ -202,6 +202,38 @@ def test_prefix_filter_completeness_property(texts, threshold):
                 assert shared, (texts[i], texts[j], jac, threshold)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("abcdef"), min_size=0, max_size=40),
+        min_size=2, max_size=12),
+    threshold=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_prefix_filter_completeness_capped_heavy_map(texts, threshold):
+    """Completeness must survive the 100 TB broadcast bound: df_map holds
+    ONLY the heavy head (df > cap) and absent shingles get order key
+    (cap, shingle). cap=2 is aggressively small so most shingles are absent."""
+    df: Counter = Counter()
+    sets = [_char_shingles(t) for t in texts]
+    for s in sets:
+        df.update(s)
+    cap = 2
+    heavy = {s: c for s, c in df.items() if c > cap}
+    batch = pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    post = ngram_prefix_postings(batch, heavy, threshold, cap=cap)
+    emitted = {}
+    for sh, d in zip(post["shingle"], post["doc_id"]):
+        emitted.setdefault(int(d), set()).add(sh)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold and union > 0:
+                shared = emitted.get(i, set()) & emitted.get(j, set())
+                assert shared, (texts[i], texts[j], jac, threshold)
+
+
 def test_degenerate_corpus_short_texts(ray_session, tmp_path):
     """Texts shorter than the shingle window: no shingles, no pairs, no
     clusters — every stage must return empty cleanly (prefix path, since
