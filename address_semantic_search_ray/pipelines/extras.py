@@ -88,10 +88,10 @@ class RegressionLinkStage(_RegionStateMixin):
     def __init__(self, region_ref, index_ref, grid_ref):
         import ray as _ray
 
-        from ..kernel.npindex import NpCorpusIndex
+        from ..stages.fused import resolve_index
 
         self._init_interpreter(region_ref)
-        self.np_index = NpCorpusIndex.from_payload(_ray.get(index_ref))
+        self.np_index = resolve_index(index_ref)  # single payload or sharded
         self.grid_by_addr = _ray.get(grid_ref)
         self._freeze_state()
 
@@ -134,31 +134,32 @@ def regression_accuracy(data_dir: str, region_dict_path: str | None = None,
     import pyarrow.parquet as pq
 
     from ..sources.readers import read_regression_csv
-    from ..stages.idf import build_idf
     from ..stages.interpret import CorpusInterpretStage, put_region_table
+    from .kg import (SMALL_INDEX_OVERLAP_MAX_BYTES, _build_small_corpus_index,
+                     build_sharded_index_refs, estimate_index_bytes)
     from .oracle import default_region_dict_path
 
     region_dict_path = region_dict_path or default_region_dict_path()
     region_ref = put_region_table(region_dict_path)
+    addresses_path = os.path.join(data_dir, "addresses.parquet")
 
-    corpus_ds = (
-        rd.read_parquet(os.path.join(data_dir, "addresses.parquet"),
-                        columns=["addr_id", "text"])
-        .repartition(concurrency * 2)
-        .map_batches(CorpusInterpretStage, fn_constructor_args=(region_ref,),
-                     batch_format="pyarrow", batch_size=2048,
-                     concurrency=max(2, concurrency // 2))
-        .materialize()
-    )
-    from ..stages.fused import put_np_index
+    # corpus index via the kg pipeline's own builders — the corpus never
+    # funnels through the driver (small side: one overlapped build task;
+    # big side: distributed interpret + per-bucket sharded build)
+    if estimate_index_bytes(addresses_path) <= SMALL_INDEX_OVERLAP_MAX_BYTES:
+        index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)
+    else:
+        corpus_ds = (
+            rd.read_parquet(addresses_path, columns=["addr_id", "text"])
+            .repartition(concurrency * 2)
+            .map_batches(CorpusInterpretStage, fn_constructor_args=(region_ref,),
+                         batch_format="pyarrow", batch_size=2048,
+                         concurrency=max(2, concurrency // 2))
+            .materialize()
+        )
+        index_ref = build_sharded_index_refs(corpus_ds)
 
-    idf_ds = build_idf(corpus_ds)
-    docs_tbl = pa.concat_tables(ray.get(corpus_ds.drop_columns(["term_keys"]).to_arrow_refs()))
-    idf_tbl = pa.concat_tables(ray.get(idf_ds.to_arrow_refs()))
-    index_ref = put_np_index(docs_tbl, idf_tbl)
-
-    addr_tbl = pq.read_table(os.path.join(data_dir, "addresses.parquet"),
-                             columns=["addr_id", "grid_id"])
+    addr_tbl = pq.read_table(addresses_path, columns=["addr_id", "grid_id"])
     grid_ref = ray.put(dict(zip(addr_tbl.column("addr_id").to_pylist(),
                                 addr_tbl.column("grid_id").to_pylist())))
 

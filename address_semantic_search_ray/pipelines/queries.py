@@ -821,20 +821,31 @@ def decontaminate(sf_dir: str, n_words: int = 13, train: int = 90, val: int = 5)
 def stratified_sample(sf_dir: str, k: int = 20):
     """Deterministic per-language sample: the first k docs per lang in
     (md5(doc_id), doc_id) order — reproducible under re-runs and corpus
-    growth within a group. Groups here are the ~5-value lang column; for
-    high-cardinality strata use the crc32-bucketed groupby pattern
-    (``topk_per_group``)."""
+    growth within a group.
+
+    lang has ~5 distinct values, so a bare ``groupby(lang).map_groups``
+    would materialize ~20% of the corpus as ONE pandas group (the hot-key
+    shape this repo buckets everywhere else). Instead each batch keeps its
+    own top-k per lang (a partial — the global top-k is always a subset of
+    the per-batch top-ks under one total order), so the final per-lang merge
+    sees at most k rows per input block, never the stratum."""
     import hashlib
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
 
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in group["doc_id"]]
-        g = group.assign(_h=h).sort_values(["_h", "doc_id"]).head(k)
+    def partial(df: pd.DataFrame) -> pa.Table:
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        g = (df.assign(_h=h).sort_values(["_h", "doc_id"], kind="stable")
+             .groupby("lang", sort=False).head(k))
+        return _arrow(g[["doc_id", "lang", "_h"]])
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_h", "doc_id"], kind="stable").head(k)
         return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
                              "lang": g["lang"]})
 
-    return ds.groupby("lang").map_groups(rank, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(final, batch_format="pandas"))
 
 
 def text_token_count(sf_dir: str):
@@ -1304,20 +1315,29 @@ def asof_join_events_orders(sf_dir: str):
 
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
-    (grouped sort + head, deterministic tie-break on o_orderkey)."""
+    (deterministic tie-break on o_orderkey).
+
+    c_mktsegment has ~5 distinct values, so a bare ``groupby.map_groups``
+    would put ~20% of the orders table in ONE pandas group. The attach step
+    therefore also keeps only its batch's top-k per segment (a partial under
+    the same total order), bounding the final per-segment merge at k rows
+    per input block."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def head_k(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["o_totalprice", "o_orderkey"],
+                                 ascending=[False, False], kind="stable").head(k)
+
+    def attach_partial(df: pd.DataFrame) -> pa.Table:
         seg = ray.get(seg_ref)
         df["c_mktsegment"] = df["o_custkey"].map(seg)
-        return df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+        g = (df[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+             .sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, False], kind="stable")
+             .groupby("c_mktsegment", sort=False).head(k))
+        return _arrow(g)
 
-    def head_k(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, False], kind="stable").head(k)
-        return g
-
-    return (orders.map_batches(attach, batch_format="pandas")
+    return (orders.map_batches(attach_partial, batch_format="pandas")
             .groupby("c_mktsegment").map_groups(head_k, batch_format="pandas"))
