@@ -93,6 +93,20 @@ class ShardedNpIndex:
         return idx.find_similar(district_key, town, village, road, road_num,
                                 residual, top_n=top_n)
 
+    def _sub(self, district_key: str):
+        idx = self.indexes.get(district_bucket(district_key, self.n_buckets))
+        return idx if idx is not None and idx.has_district(district_key) else None
+
+    def score_district(self, district_key: str, *args, **kw):
+        idx = self._sub(district_key)
+        return idx.score_district(district_key, *args, **kw) if idx else None
+
+    def doc_id_at(self, district_key: str, local: int) -> int:
+        return self._sub(district_key).doc_id_at(district_key, local)
+
+    def explain_matched(self, district_key: str, *args, **kw) -> list[dict]:
+        return self._sub(district_key).explain_matched(district_key, *args, **kw)
+
 
 def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Concatenate [lo_i, hi_i) ranges in order — a vectorized multi-arange."""
@@ -146,6 +160,10 @@ class NpCorpusIndex:
     def __init__(self, arrays: dict, district_keys: list[str]):
         for name in self.ARRAY_FIELDS:
             setattr(self, name, arrays[name])
+        # raw road_num string per doc ("" when none) — only consumed by the
+        # explain path (the RoadNum-fallback MatchedTerm reports the DOC's
+        # own road_num text, which no hash can recover)
+        self.rn_text = arrays.get("rn_text") or [""] * len(arrays["doc_ids"])
         self.district_keys = district_keys
         self.district_idx = {k: i for i, k in enumerate(district_keys)}
         self._views: dict[int, tuple] = {}  # per-district array views (cheap)
@@ -210,7 +228,7 @@ class NpCorpusIndex:
         district_keys = list(by_district)
         doc_ids, has_town, has_village = [], [], []
         town_h, village_h, road_h = [], [], []
-        has_rn, rn_value, rn_idf = [], [], []
+        has_rn, rn_value, rn_idf, rn_text = [], [], [], []
         doc_lo, doc_hi, inv_lo, inv_hi, key_lo, key_hi = [], [], [], [], [], []
         inv_hash, inv_doc, inv_type, inv_idf, inv_txtpos = [], [], [], [], []
         key_hash_all, key_idf_all = [], []
@@ -240,6 +258,7 @@ class NpCorpusIndex:
                 terms = _query_terms(town, village, road, road_num, residual, segment)
                 rnv = translate_road_num(road_num) if road_num else 0
                 has_rn.append(bool(road_num))
+                rn_text.append(road_num or "")
                 rn_value.append(rnv)
                 rn_idf.append(idf_map.get(f"{road}-{rnv}", 0.0) if road_num else 0.0)
                 per_doc: dict[int, list] = {}
@@ -293,6 +312,7 @@ class NpCorpusIndex:
             "inv_txtpos": np.asarray(inv_txtpos, dtype=np.int64),
             "key_hash": np.asarray(key_hash_all, dtype=np.uint64),
             "key_idf": np.asarray(key_idf_all, dtype=np.float64),
+            "rn_text": rn_text,
         }
         return cls(arrays, district_keys)
 
@@ -304,6 +324,7 @@ class NpCorpusIndex:
         returns read-only zero-copy views of the same shared memory."""
         payload = {name: getattr(self, name) for name in self.ARRAY_FIELDS}
         payload["district_keys"] = self.district_keys
+        payload["rn_text"] = self.rn_text
         return payload
 
     @classmethod
@@ -344,7 +365,8 @@ class NpCorpusIndex:
                  self.town_h[dlo:dhi].tolist(), self.village_h[dlo:dhi].tolist(),
                  self.road_h[dlo:dhi].tolist(), self.has_town[dlo:dhi].tolist(),
                  self.has_village[dlo:dhi].tolist(), self.has_rn[dlo:dhi].tolist(),
-                 self.rn_value[dlo:dhi].tolist(), self.rn_idf[dlo:dhi].tolist())
+                 self.rn_value[dlo:dhi].tolist(), self.rn_idf[dlo:dhi].tolist(),
+                 list(self.rn_text[dlo:dhi]))
             self._py_views[di] = v
         return v
 
@@ -363,7 +385,7 @@ class NpCorpusIndex:
         from math import sqrt
 
         (m, dmaps, key_idf, town_h, village_h, road_h, has_town_d,
-         has_village_d, has_rn_d, rnv_d, rn_idf_d) = self._district_py(di)
+         has_village_d, has_rn_d, rnv_d, rn_idf_d, _rn_text_d) = self._district_py(di)
 
         terms = _query_terms(town, village, road, road_num, residual, segment)
         if not terms:
@@ -776,6 +798,113 @@ class NpCorpusIndex:
         if valid.any():
             sims[valid] = sum_qd[valid] / np.sqrt(sum_qq[valid] * sum_dd[valid])
         return sims  # fresh array: scratch buffers are reused across calls
+
+    def doc_id_at(self, district_key: str, local: int) -> int:
+        """Global doc id of a district's ``local``-th doc (index order)."""
+        di = self.district_idx[district_key]
+        return int(self.doc_ids[int(self.doc_lo[di]) + local])
+
+    _TYPE_CHAR = ("X", "T", "V", "R", "N")  # by T_* code (types.TermType)
+
+    def explain_matched(self, district_key: str, local: int, town: str,
+                        village: str, road: str, road_num: str, residual: str,
+                        segment=simple_segment) -> list[dict]:
+        """MatchedTerm records (text, type, boost, tfidf, density, coord) for
+        ONE doc of a district, derived entirely from the flat arrays —
+        value-equal to ``kernel.similarity.compute_doc_similarity_explain``'s
+        matched list (``SimilarityComputer.java:456-550`` +
+        ``MatchedTerm.java:3-45``): same query-term order, same boost
+        branches, same IEEE multiply association (idf*boost*coord*density).
+        The similarity itself comes from ``score_district`` (bit-equal), so
+        the explain path needs NO python Doc objects — one broadcast index
+        serves both scan and breakdown."""
+        from math import sqrt
+
+        di = self.district_idx[district_key]
+        (m, dmaps, _key_idf, town_h, village_h, road_h, has_town_d,
+         _has_village_d, has_rn_d, rnv_d, rn_idf_d, rn_text_d) = self._district_py(di)
+        dmap = dmaps[local]
+
+        terms = _query_terms(town, village, road, road_num, residual, segment)
+        hashes = [term_hash(t) for _, t in terms]
+        q_rnv = translate_road_num(road_num) if road_num else 0
+        q_has_town, q_has_village = bool(town), bool(village)
+        q_has_road = bool(road)
+        road_gate = not q_has_town or not q_has_village
+        q_town_h = term_hash(town) if town else 0
+        q_village_h = term_hash(village) if village else 0
+        q_road_h = term_hash(road) if road else 0
+
+        # text-term coord/density (java:461-498) for THIS doc
+        q_text_count = mc = 0
+        mmin, mmax = 2147483647, -1
+        for (tcode, _t), h in zip(terms, hashes):
+            if tcode != T_TEXT:
+                continue
+            q_text_count += 1
+            ent = dmap.get(h)
+            if ent is not None and ent[2] >= 0:
+                mc += 1
+                tp = ent[2]
+                if tp < mmin:
+                    mmin = tp
+                if tp > mmax:
+                    mmax = tp
+        coord_text = density_text = 1.0
+        if q_text_count > 0:
+            coord_text = sqrt(mc * 1.0 / q_text_count) * 0.5 + 0.5
+        if q_text_count >= 2 and mc >= 2:
+            density_text = sqrt(mc * 1.0 / (mmax - mmin + 1)) * 0.5 + 0.5
+
+        d_has_town = has_town_d[local]
+        town_eq = d_has_town and town_h[local] == q_town_h
+        d_road_h = road_h[local]
+        d_rnv = rnv_d[local]
+        matched: list[dict] = []
+        for (tcode, q_text), h in zip(terms, hashes):
+            ent = dmap.get(h)
+            if ent is not None:
+                d_type, d_idf, _tp = ent
+                d_text = q_text  # terms match by text
+            elif (tcode == T_ROAD_NUM and q_has_road and has_rn_d[local]
+                    and d_road_h == q_road_h):
+                # RoadNum fallback (java:513-517): the matched term is the
+                # DOC's own road_num
+                d_type, d_idf, d_text = T_ROAD_NUM, rn_idf_d[local], rn_text_d[local]
+            else:
+                continue
+            # doc-side boost — get_boost_value(True, ...), java:198-255
+            if d_type == T_TEXT:
+                db = BOOST_M
+            elif d_type == T_TOWN:
+                db = BOOST_L if q_has_town else BOOST_XS
+            elif d_type == T_VILLAGE:
+                db = BOOST_XS
+                if q_has_village and q_has_town:
+                    if town_eq:
+                        db = BOOST_XL if village_h[local] == q_village_h else BOOST_L
+                    elif d_has_town:
+                        db = BOOST_S
+            elif d_type == T_ROAD:
+                db = BOOST_L if (road_gate and q_has_road) else BOOST_M
+            else:  # T_ROAD_NUM
+                db = BOOST_M
+                if road_gate and q_rnv > 0 and q_has_road:
+                    if d_rnv > 0 and d_road_h == q_road_h:
+                        if d_rnv == q_rnv:
+                            db = 3.0
+                        else:
+                            db = (1.0 / sqrt(sqrt(abs(q_rnv - d_rnv) + 1.0))) * BOOST_L
+            is_text = d_type == T_TEXT
+            coord = coord_text if is_text else 1.0
+            density = density_text if is_text else 1.0
+            matched.append({
+                "text": d_text, "type": self._TYPE_CHAR[d_type], "boost": db,
+                "tfidf": d_idf * db * coord * density,
+                "density": density if is_text else -1.0,
+                "coord": coord if is_text else -1.0,
+            })
+        return matched
 
     def find_similar(self, district_key: str, town: str, village: str,
                      road: str, road_num: str, residual: str,

@@ -222,31 +222,24 @@ EXPLAIN_SCHEMA = pa.schema([
 
 class ExplainLinker:
     """Actor-pool explain-mode scorer: mention rows -> one row per
-    (candidate rank, matched term), wrapping the kernel's
-    ``find_similar_explain`` (kernel/similarity.py, the reference's
-    ``explain && topN`` path — SimilarityComputer.java:456-550 +
-    MatchedTerm.java:3-45; surfaced by HttpDemoServiceImpl.java:40-96).
+    (candidate rank, matched term) — the reference's ``explain && topN``
+    path (SimilarityComputer.java:456-550 + MatchedTerm.java:3-45; surfaced
+    by HttpDemoServiceImpl.java:40-96).
 
-    Holds the PYTHON corpus index (district -> (docs, idf)) from a broadcast
-    ref — explain is a link-quality debugging surface over a bounded mention
-    sample; bulk linking stays on the flat numpy index. At corpus sizes
-    beyond the broadcast budget, run explain per district via the
-    checkpointed bucket partitions instead."""
+    Holds ONLY the flat numpy corpus index: one ``ray.put`` payload whose
+    arrays every actor maps zero-copy (per-node index memory O(1) in actor
+    count — the python-Doc replica this stage used to carry re-created the
+    round-1 N-replicas memory-bus problem). The per-district scan selects
+    each mention's <=top_n winners with sims bit-equal to the python scorer
+    (tests/test_npindex.py); the per-term MatchedTerm breakdown then derives
+    from the SAME flat arrays (``NpCorpusIndex.explain_matched``) only for
+    those winners."""
 
-    def __init__(self, index_ref, top_n: int = 2, np_index_ref=None):
-        self.index = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+    def __init__(self, np_index_ref, top_n: int = 2):
+        from ..stages.fused import resolve_index
+
+        self.np_index = resolve_index(np_index_ref)
         self.top_n = top_n
-        # optional flat numpy index for the SCAN: per-doc sims are bit-equal
-        # to the python scorer (tests/test_npindex.py), so selecting the
-        # top-N there and running the per-term explain breakdown only on
-        # those <=top_n winners is output-identical and ~district-size/top_n
-        # cheaper. Both indexes list a district's docs in corpus row order,
-        # so stable-sort tie-breaks agree.
-        self.np_index = None
-        if np_index_ref is not None:
-            from ..stages.fused import resolve_index
-
-            self.np_index = resolve_index(np_index_ref)
         import gc
 
         gc.collect()
@@ -255,10 +248,7 @@ class ExplainLinker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        from ..kernel.document import doc_from_fields
-        from ..kernel.similarity import (compute_doc_similarity_explain,
-                                         find_similar_explain)
-
+        idx = self.np_index
         out = {name: [] for name in EXPLAIN_SCHEMA.names}
         for conv_id, turn_idx, mention_idx, key, town, village, road, road_num, residual in zip(
             batch.column("conv_id").to_pylist(),
@@ -271,30 +261,24 @@ class ExplainLinker:
             batch.column("road_num").to_pylist(),
             batch.column("residual").to_pylist(),
         ):
-            entry = self.index.get(key)
-            if entry is None:
+            sims = idx.score_district(key, town, village, road, road_num,
+                                      residual)
+            if sims is None:
                 continue
-            docs, idf = entry
-            q = doc_from_fields(-1, town, village, road, road_num, residual,
-                                idf_lookup=idf)
-            if self.np_index is not None:
-                sims = self.np_index.score_district(
-                    key, town, village, road, road_num, residual)
-                if sims is None:
-                    continue
-                sims = np.asarray(sims, dtype=np.float64)
-                pos = np.flatnonzero(sims > 0.0)
-                if pos.size == 0:
-                    continue
-                # == find_similar_explain's filter + stable sort desc
-                sel = pos[np.argsort(-sims[pos], kind="stable")][:self.top_n]
-                ranked = []
-                for i in sel:
-                    doc = docs[int(i)]
-                    sim, matched = compute_doc_similarity_explain(q, doc)
-                    ranked.append((doc.id, sim, matched))
-            else:
-                ranked = find_similar_explain(q, docs, top_n=self.top_n)
+            sims = np.asarray(sims, dtype=np.float64)
+            pos = np.flatnonzero(sims > 0.0)
+            if pos.size == 0:
+                continue
+            # == find_similar_explain's filter + stable sort desc (both
+            # indexes list a district's docs in corpus row order, so ties
+            # break identically)
+            sel = pos[np.argsort(-sims[pos], kind="stable")][:self.top_n]
+            ranked = [
+                (idx.doc_id_at(key, int(i)), float(sims[int(i)]),
+                 idx.explain_matched(key, int(i), town, village, road,
+                                     road_num, residual))
+                for i in sel
+            ]
             for rank, (doc_id, sim, matched) in enumerate(ranked):
                 for mt in matched:
                     out["conv_id"].append(conv_id)
@@ -314,33 +298,20 @@ class ExplainLinker:
             schema=EXPLAIN_SCHEMA)
 
 
-def build_py_corpus_index_task(addresses_path: str, region_dict_path: str):
-    """Ray task: single-process corpus index (Doc objects + per-district idf)
-    for the explain path, built off-driver, broadcast via its ObjectRef."""
-    import pyarrow.parquet as pq
-
-    from ..kernel.interpreter import Interpreter
-    from ..kernel.regions import RegionDict
-    from .oracle import build_corpus_index
-
-    interpreter = Interpreter(RegionDict.from_parquet(region_dict_path))
-    addresses = pq.read_table(addresses_path, columns=["addr_id", "text"])
-    return build_corpus_index(addresses, interpreter)
-
-
-_build_py_corpus_index = ray.remote(build_py_corpus_index_task)
-
-
 def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
                   region_dict_path: str | None = None, concurrency: int = 8):
     """Distributed explain-mode linking over the mentions checkpoint.
 
-    Two broadcast indexes: the flat numpy one drives the per-district scan
-    (vectorized, plasma-mapped zero-copy), the python one supplies the Doc
-    objects the per-term explain breakdown is computed from — only for each
-    mention's <=top_n winners."""
-    from ..pipelines.kg import _build_small_corpus_index
-    from ..stages.interpret import put_region_table
+    ONE broadcast index (the flat numpy payload, plasma-mapped zero-copy per
+    node) drives both the per-district scan and the per-term MatchedTerm
+    breakdown; no per-actor python-Doc replica. Built via the kg pipeline's
+    size-routed builders, so corpora beyond the single-task budget get the
+    sharded per-bucket build (the index shape ExplainLinker resolves
+    transparently)."""
+    from ..pipelines.kg import (SMALL_INDEX_OVERLAP_MAX_BYTES,
+                                _build_small_corpus_index,
+                                build_sharded_index_refs, estimate_index_bytes)
+    from ..stages.interpret import CorpusInterpretStage, put_region_table
     from .oracle import default_region_dict_path
 
     region_dict_path = region_dict_path or default_region_dict_path()
@@ -349,14 +320,24 @@ def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
     # or the pipeline livelocks on small clusters
     n_cpus = int(ray.cluster_resources().get("CPU", concurrency + 2))
     concurrency = max(2, min(concurrency, n_cpus - 2))
-    index_ref = _build_py_corpus_index.remote(addresses_path, region_dict_path)
-    np_index_ref = _build_small_corpus_index.remote(
-        addresses_path, put_region_table(region_dict_path))
+    region_ref = put_region_table(region_dict_path)
+    if estimate_index_bytes(addresses_path) <= SMALL_INDEX_OVERLAP_MAX_BYTES:
+        np_index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)
+    else:
+        corpus_ds = (
+            rd.read_parquet(addresses_path, columns=["addr_id", "text"])
+            .repartition(concurrency * 2)
+            .map_batches(CorpusInterpretStage, fn_constructor_args=(region_ref,),
+                         batch_format="pyarrow", batch_size=2048,
+                         concurrency=max(2, concurrency // 2))
+            .materialize()
+        )
+        np_index_ref = build_sharded_index_refs(corpus_ds)
     return rd.read_parquet(
         mentions_dir,
         columns=["conv_id", "turn_idx", "mention_idx", "district_key",
                  "town", "village", "road", "road_num", "residual"],
     ).map_batches(
-        ExplainLinker, fn_constructor_args=(index_ref, top_n, np_index_ref),
+        ExplainLinker, fn_constructor_args=(np_index_ref, top_n),
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency,
     )

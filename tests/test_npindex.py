@@ -215,3 +215,52 @@ def test_pipeline_idf_bit_equals_kernel_idf(kit):
             assert got[(key, k)] == v, (key, k, got[(key, k)], v)  # exact
             n += 1
     assert n > 500  # sanity: the corpus produced a real idf table
+
+
+def test_explain_matched_equals_python_explain(kit):
+    """``NpCorpusIndex.explain_matched`` must reproduce the python explain
+    scorer's MatchedTerm records EXACTLY (text, 1-char type, boost, tfidf,
+    density, coord — same order, same floats) for every distinct mention
+    shape the sf0.001 transcripts produce, on that mention's top-3 winners
+    plus doc 0 (fallback/boost edges live off the winners too)."""
+    from address_semantic_search_ray.kernel.similarity import (
+        compute_doc_similarity_explain)
+
+    interpreter, data_dir, py_index, np_index = kit
+    transcripts = pq.read_table(data_dir + "/transcripts.parquet", columns=["text"])
+    n_rows = 0
+    seen = set()
+    for text in transcripts.column("text").to_pylist():
+        if not text:
+            continue
+        for m in find_mentions(text, interpreter):
+            a = m.addr
+            key = district_key(a)
+            if key not in py_index:
+                continue
+            town = a.town.name if a.town is not None else ""
+            village = a.village.name if a.village is not None else ""
+            shape = (key, town, village, a.road, a.road_num, a.text)
+            if shape in seen:
+                continue
+            seen.add(shape)
+            docs, idf = py_index[key]
+            q = doc_from_fields(-1, town, village, a.road, a.road_num, a.text,
+                                idf_lookup=idf)
+            sims = np.asarray(np_index.score_district(*shape), dtype=np.float64)
+            pos = np.flatnonzero(sims > 0.0)
+            sel = list(pos[np.argsort(-sims[pos], kind="stable")][:3]) + [0]
+            for i in dict.fromkeys(int(x) for x in sel):
+                _sim, want = compute_doc_similarity_explain(q, docs[i])
+                got = np_index.explain_matched(key, i, town, village,
+                                               a.road, a.road_num, a.text)
+                assert len(got) == len(want)
+                for g, w in zip(got, want):
+                    assert g["text"] == w["text"]
+                    assert g["type"] == str(w["type"])
+                    assert g["boost"] == w["boost"]
+                    assert g["tfidf"] == w["tfidf"]  # exact, not approx
+                    assert g["density"] == w["density"]
+                    assert g["coord"] == w["coord"]
+                    n_rows += 1
+    assert n_rows > 200  # the corpus must actually exercise the explain path
