@@ -228,13 +228,13 @@ class BroadcastLinker:
 
 TRIPLE_ROUTE_SCHEMA = pa.schema([
     ("route", pa.int32()),  # <1000: conv bucket; >=1000: part_of edge bucket
-    ("subj", pa.string()),
-    ("pred", pa.string()),
-    ("obj", pa.string()),
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
     ("mention_idx", pa.int32()),
+    ("role", pa.string()),
     ("district_key", pa.string()),
+    ("least", pa.int64()),   # mention rows: least_region_id; edges: child
+    ("linked", pa.int64()),  # mention rows: linked_addr (-1 none); edges: parent
     ("score", pa.float64()),
 ])
 
@@ -243,86 +243,105 @@ _N_EDGE_BUCKETS = 64
 
 
 class MentionLinkTriplesStage(MentionLinkStage):
-    """Fully fused: transcripts -> routed triple rows in ONE pass.
+    """Fully fused: transcripts -> routed COMPACT rows in ONE pass.
 
-    Emits located_at/mentions rows routed by conv bucket plus batch-deduped
-    part_of edge rows routed by edge bucket, so the whole pipeline is a single
-    streaming job: read -> this stage -> one groupby -> finalize -> write.
-    """
+    One row per mention (int codes only — no subj/pred/obj strings) routed
+    by conv bucket, plus batch-deduped part_of edges as int pairs routed by
+    edge bucket. The located_at + mentions expansion and ALL triple string
+    formatting happen vectorized in ``finalize_route_group`` AFTER the
+    shuffle, so the one all-to-all moves ~2.5x fewer bytes per turn and the
+    hot actor loop allocates no per-row f-strings (round-3 verdict: the
+    32-CPU anchor is pinned on memory bandwidth; bytes-per-turn is the
+    lever). The whole pipeline stays a single streaming job:
+    read -> this stage -> one groupby -> finalize -> write."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from zlib import crc32
 
         rows = self._link_rows(batch)  # plain lists — no Arrow round-trip
-        cols = {n: [] for n in TRIPLE_ROUTE_SCHEMA.names}
-        c_route = cols["route"].append
-        c_subj = cols["subj"].append
-        c_pred = cols["pred"].append
-        c_obj = cols["obj"].append
-        c_conv = cols["conv_id"].append
-        c_turn = cols["turn_idx"].append
-        c_mi = cols["mention_idx"].append
-        c_key = cols["district_key"].append
-        c_score = cols["score"].append
+        convs = rows["conv_id"]
+        routes = [crc32(c.encode()) % _N_CONV_BUCKETS for c in convs]
         edges = set()
-
-        for conv, turn, mi, role, key, least, linked, score, chain in zip(
-            rows["conv_id"], rows["turn_idx"], rows["mention_idx"],
-            rows["role"], rows["district_key"], rows["least_region_id"],
-            rows["linked_addr"], rows["score"], rows["region_chain"],
-        ):
-            route = crc32(conv.encode()) % _N_CONV_BUCKETS
-            # located_at row
-            c_route(route)
-            c_subj(f"conv:{conv}:{role}")
-            c_pred("located_at")
-            c_obj(f"region:{least}")
-            c_conv(conv)
-            c_turn(turn)
-            c_mi(mi)
-            c_key(key)
-            c_score(score)
-            # mentions row
-            c_route(route)
-            c_subj(f"conv:{conv}")
-            c_pred("mentions")
-            c_obj(f"addr:{linked}" if linked >= 0 else "addr:none")
-            c_conv(conv)
-            c_turn(turn)
-            c_mi(mi)
-            c_key(key)
-            c_score(score)
+        for chain in rows["region_chain"]:
             for child, parent in zip(chain, chain[1:]):
-                edges.add((f"region:{child}", f"region:{parent}"))
-        for s, o in edges:
-            c_route(1000 + crc32((s + o).encode()) % _N_EDGE_BUCKETS)
-            c_subj(s)
-            c_pred("part_of")
-            c_obj(o)
-            c_conv("")
-            c_turn(-1)
-            c_mi(-1)
-            c_key("")
-            c_score(1.0)
+                edges.add((child, parent))
+        ne = len(edges)
+        e_child = [c for c, _ in edges]
+        e_parent = [p for _, p in edges]
+        e_route = [1000 + crc32(b"%d:%d" % (c, p)) % _N_EDGE_BUCKETS
+                   for c, p in edges]
         return pa.Table.from_arrays(
-            [pa.array(cols[f.name], f.type) for f in TRIPLE_ROUTE_SCHEMA],
+            [
+                pa.array(routes + e_route, pa.int32()),
+                pa.array(convs + [""] * ne, pa.string()),
+                pa.array(rows["turn_idx"] + [-1] * ne, pa.int32()),
+                pa.array(rows["mention_idx"] + [-1] * ne, pa.int32()),
+                pa.array(rows["role"] + [""] * ne, pa.string()),
+                pa.array(rows["district_key"] + [""] * ne, pa.string()),
+                pa.array(rows["least_region_id"] + e_child, pa.int64()),
+                pa.array(rows["linked_addr"] + e_parent, pa.int64()),
+                pa.array(rows["score"] + [1.0] * ne, pa.float64()),
+            ],
             schema=TRIPLE_ROUTE_SCHEMA,
         )
 
 
 def finalize_route_group(group: pa.Table) -> pa.Table:
-    """One routed bucket -> final triple rows (canonicalize or edge-dedup)."""
-    from .triples import TRIPLE_SCHEMA, _PRED_ORDER
+    """One routed bucket -> final triple rows.
+
+    Mention rows expand to their located_at + mentions triples HERE —
+    first-wins dedup runs on the int codes ((conv, role, least) is exactly
+    located_at's (conv, subj, pred, obj) key and (conv, linked) exactly
+    mentions'), in the same stable (conv, turn, mention, pred) order as the
+    checkpointed path's ``canonicalize_conv_group``; the subj/obj strings
+    are then built vectorized for the survivors only. Edge buckets dedup
+    the int pairs and format the same way. Output is byte-identical to the
+    pre-compaction emit (driver kg_triples hash + mode-parity tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from .triples import TRIPLE_SCHEMA
 
     df = group.to_pandas()
     if int(df["route"].iloc[0]) >= 1000:
-        df = df.drop_duplicates(["subj", "obj"]).sort_values(["subj", "obj"])
+        df = df.drop_duplicates(["least", "linked"])
+        out = pd.DataFrame({
+            "subj": "region:" + df["least"].astype(str),
+            "pred": "part_of",
+            "obj": "region:" + df["linked"].astype(str),
+            "conv_id": "", "turn_idx": -1, "district_key": "", "score": 1.0,
+        }).sort_values(["subj", "obj"])
     else:
-        df["_po"] = df["pred"].map(_PRED_ORDER).fillna(9).astype("int64")
-        df = df.sort_values(["conv_id", "turn_idx", "mention_idx", "_po"], kind="stable")
-        df = df.drop_duplicates(["conv_id", "subj", "pred", "obj"], keep="first")
-    df = df[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
+        df = df.sort_values(["conv_id", "turn_idx", "mention_idx"],
+                            kind="stable").reset_index(drop=True)
+        pos = np.arange(len(df), dtype=np.int64)
+        la_keep = ~df.duplicated(["conv_id", "role", "least"]).to_numpy()
+        me_keep = ~df.duplicated(["conv_id", "linked"]).to_numpy()
+        la, me = df[la_keep], df[me_keep]
+        la_out = pd.DataFrame({
+            "subj": "conv:" + la["conv_id"] + ":" + la["role"],
+            "pred": "located_at",
+            "obj": "region:" + la["least"].astype(str),
+            "conv_id": la["conv_id"], "turn_idx": la["turn_idx"],
+            "district_key": la["district_key"], "score": la["score"],
+            # located_at precedes mentions within a mention (oracle emission
+            # order), hence the 2i / 2i+1 interleave positions
+            "_pos": pos[la_keep] * 2,
+        })
+        me_out = pd.DataFrame({
+            "subj": "conv:" + me["conv_id"],
+            "pred": "mentions",
+            "obj": np.where(me["linked"].to_numpy() >= 0,
+                            ("addr:" + me["linked"].astype(str)).to_numpy(),
+                            "addr:none"),
+            "conv_id": me["conv_id"], "turn_idx": me["turn_idx"],
+            "district_key": me["district_key"], "score": me["score"],
+            "_pos": pos[me_keep] * 2 + 1,
+        })
+        out = (pd.concat([la_out, me_out], ignore_index=True)
+               .sort_values("_pos", kind="stable").drop(columns=["_pos"]))
+    out = out[["subj", "pred", "obj", "conv_id", "turn_idx", "district_key", "score"]]
     # strip the pandas schema-metadata blob (unhashable in pyarrow 16 —
     # trips Ray's block-schema dedup into per-batch warnings)
-    return pa.Table.from_pandas(df, schema=TRIPLE_SCHEMA,
+    return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA,
                                 preserve_index=False).replace_schema_metadata(None)
