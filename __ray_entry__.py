@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
         "events_sessionize": q.events_sessionize,
+        "events_topk_hourly": q.events_topk_hourly,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
         "dedup_clusters": q.dedup_clusters,
+        "dedup_filter": q.dedup_filter,
         "split_assign": q.split_assign,
         # text analysis
         "text_token_count": q.text_token_count,
@@ -129,6 +131,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_topk_hourly": """
+            WITH t AS (
+                SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                       event_id, value,
+                       row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                          ORDER BY value DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT hour, event_id, value FROM t WHERE rn <= 3
         """,
         "events_hopping": """
             WITH w AS (SELECT event_type, value,
@@ -219,6 +230,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.v <> r.u)
             SELECT u AS doc_id, least(u, min(v))::BIGINT AS canonical_id
             FROM reach GROUP BY u
+        """,
+        "dedup_filter": """
+            WITH RECURSIVE t AS (SELECT doc_id,
+                          list_distinct(list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(text, i, 5))) AS g
+                   FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+            clusters AS (SELECT u AS doc_id, least(u, min(v))::BIGINT AS canonical_id
+                         FROM reach GROUP BY u)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM clusters WHERE doc_id <> canonical_id)
         """,
         "token_quantiles": """
             WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens

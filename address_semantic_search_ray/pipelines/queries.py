@@ -698,6 +698,72 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
         batch_format="pandas")
 
 
+def dedup_filter(sf_dir: str, threshold: float = 0.5):
+    """The step a training-data dedup actually ends with: the SURVIVING
+    corpus after collapsing every near-dup cluster to its canonical
+    (minimum-id) member — all docs except cluster members whose
+    canonical_id differs from their own.
+
+    Scale shape: the dropped-id set is bounded by the near-dup count (tiny
+    next to the corpus by definition of near-dup), so it is collected once
+    and broadcast via ``ray.put``; the corpus then streams through a pure
+    arrow membership filter — no join, no shuffle, the corpus never
+    materializes outside the read."""
+    clusters = dedup_clusters(sf_dir, threshold=threshold)
+    dropped_chunks = []
+    for b in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b.filter(pc.not_equal(b.column("doc_id"), b.column("canonical_id")))
+        if t.num_rows:
+            dropped_chunks.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+    dropped = (np.unique(np.concatenate(dropped_chunks)).astype(np.int64)
+               if dropped_chunks else np.asarray([], dtype=np.int64))
+    ids_ref = ray.put(pa.array(dropped, pa.int64()))
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t.column("doc_id"), value_set=ray.get(ids_ref)))
+        return pa.table({"doc_id": t.filter(mask).column("doc_id")})
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def events_topk_hourly(sf_dir: str, k: int = 3, n_buckets: int = 32):
+    """Windowed top-k: the k highest-value events per tumbling hour.
+
+    Composition of the window-key derivation (arrow ``floor_temporal`` +
+    ``strftime``, no per-row python) with the partial-top-k pattern: each
+    batch keeps its own top-k per hour under the (value, event_id) total
+    order, and the final merge groups by a crc32 HOUR BUCKET (bounded group
+    count — a raw groupby(hour) would pay the per-group map_groups call once
+    per distinct hour) with a vectorized per-hour head inside."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        df = pd.DataFrame({
+            "hour": hour.to_pandas(),
+            "event_id": batch.column("event_id").to_pandas(),
+            "value": batch.column("value").to_pandas(),
+        })
+        g = (df.sort_values(["value", "event_id"], ascending=False, kind="stable")
+             .groupby("hour", sort=False).head(k))
+        g["_b"] = (np.fromiter((zlib.crc32(h.encode()) for h in g["hour"]),
+                               dtype=np.uint32, count=len(g))
+                   % np.uint32(n_buckets)).astype(np.int64)
+        return _arrow(g)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["value", "event_id"], ascending=False,
+                               kind="stable")
+             .groupby("hour", sort=False).head(k))
+        return g[["hour", "event_id", "value"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(final, batch_format="pandas"))
+
+
 # -- text analysis ---------------------------------------------------------
 
 def token_quantiles(sf_dir: str):

@@ -28,7 +28,8 @@ BENCH_QUERIES = (
     "asof_join_events_orders", "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "token_quantiles", "split_assign",
+    "dedup_clusters", "dedup_filter", "events_topk_hourly",
+    "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
@@ -80,7 +81,13 @@ def run_bench() -> dict:
 
     pq.read_table(os.path.join(data_dir, "transcripts.parquet"))
 
-    conc = max(2, min(NUM_CPUS - 2, 28))
+    # stage-actor pool size: the round-3 sweep measured the node saturating
+    # at ~20 fused-stage actors (28 actors 36.2 s vs 20 actors 35.9 s vs 12
+    # actors 50.2 s) — beyond ~20 the single socket's memory bus is the
+    # binding resource, and the freed CPUs serve the read/shuffle tail.
+    # ASR_BENCH_ACTORS overrides for sweeps.
+    conc = int(os.environ.get("ASR_BENCH_ACTORS", "0")) \
+        or max(2, min(NUM_CPUS - 2, 20))
 
     # headline: broadcast-index streaming KG pipeline (the corpus is the small
     # side; one pass over the transcript stream, no mid-pipeline disk)
