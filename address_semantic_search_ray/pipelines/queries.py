@@ -307,8 +307,24 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     # has billions of distinct 5-grams). Plan statistics (vocab size, median
     # df) fold from a tiny (df -> count) histogram of that aggregate, and
     # only the bounded HEAVY head is broadcast for the prefix order.
+    def add_shingle_bucket(h: pd.DataFrame) -> pa.Table:
+        h["_sb"] = (np.fromiter((zlib.crc32(s.encode()) for s in h["shingle"]),
+                                dtype=np.uint32, count=len(h))
+                    % np.uint32(64)).astype(np.int64)
+        return _arrow(h)
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("shingle", sort=False, as_index=False)["df"].sum()
+        out["df"] = out["df"].astype(np.int64)
+        return _arrow(out)
+
+    # int-bucketed co-group instead of groupby(shingle).aggregate: Ray's
+    # sort-shuffle over ~1M distinct STRING keys dominated the whole query
+    # (18.4 s vs 6.9 s at sf0.1); 64 int buckets + a pandas sum inside move
+    # the same rows but sort 8-byte ints
     df_agg = (docs.map_batches(ngram_df_partial, batch_format="pandas")
-              .groupby("shingle").aggregate(Sum("df", alias_name="df"))
+              .map_batches(add_shingle_bucket, batch_format="pandas")
+              .groupby("_sb").map_groups(sum_bucket, batch_format="pandas")
               ).materialize()
 
     def df_hist(h: pd.DataFrame) -> pd.DataFrame:
