@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q.events_hopping,
         "events_sessionize": q.events_sessionize,
         "events_topk_hourly": q.events_topk_hourly,
+        "events_distinct_users_hourly": q.events_distinct_users_hourly,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -140,6 +141,12 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id DESC) AS rn
                 FROM events)
             SELECT hour, event_id, value FROM t WHERE rn <= 3
+        """,
+        "events_distinct_users_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1, 2
         """,
         "events_hopping": """
             WITH w AS (SELECT event_type, value,

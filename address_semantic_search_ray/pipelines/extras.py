@@ -240,6 +240,12 @@ class ExplainLinker:
 
         self.np_index = resolve_index(np_index_ref)
         self.top_n = top_n
+        # structured-key memo, same shape as MentionLinkStage's: mention
+        # TEXTS are ~97% distinct on transcript streams but the interpreted
+        # (district, town, village, road, road_num, residual) tuple repeats
+        # heavily (~79% hit at base sf0.1, BASELINE.md); the ranked winners +
+        # their MatchedTerm breakdown depend only on that tuple. Bounded.
+        self._results: dict = {}
         import gc
 
         gc.collect()
@@ -249,6 +255,7 @@ class ExplainLinker:
         import numpy as np
 
         idx = self.np_index
+        results = self._results
         out = {name: [] for name in EXPLAIN_SCHEMA.names}
         for conv_id, turn_idx, mention_idx, key, town, village, road, road_num, residual in zip(
             batch.column("conv_id").to_pylist(),
@@ -261,24 +268,30 @@ class ExplainLinker:
             batch.column("road_num").to_pylist(),
             batch.column("residual").to_pylist(),
         ):
-            sims = idx.score_district(key, town, village, road, road_num,
-                                      residual)
-            if sims is None:
-                continue
-            sims = np.asarray(sims, dtype=np.float64)
-            pos = np.flatnonzero(sims > 0.0)
-            if pos.size == 0:
-                continue
-            # == find_similar_explain's filter + stable sort desc (both
-            # indexes list a district's docs in corpus row order, so ties
-            # break identically)
-            sel = pos[np.argsort(-sims[pos], kind="stable")][:self.top_n]
-            ranked = [
-                (idx.doc_id_at(key, int(i)), float(sims[int(i)]),
-                 idx.explain_matched(key, int(i), town, village, road,
-                                     road_num, residual))
-                for i in sel
-            ]
+            memo_key = (key, town, village, road, road_num, residual)
+            ranked = results.get(memo_key)
+            if ranked is None:
+                sims = idx.score_district(key, town, village, road, road_num,
+                                          residual)
+                if sims is None:
+                    ranked = []
+                else:
+                    sims = np.asarray(sims, dtype=np.float64)
+                    pos = np.flatnonzero(sims > 0.0)
+                    # == find_similar_explain's filter + stable sort desc
+                    # (both indexes list a district's docs in corpus row
+                    # order, so ties break identically)
+                    sel = pos[np.argsort(-sims[pos],
+                                         kind="stable")][:self.top_n]
+                    ranked = [
+                        (idx.doc_id_at(key, int(i)), float(sims[int(i)]),
+                         idx.explain_matched(key, int(i), town, village, road,
+                                             road_num, residual))
+                        for i in sel
+                    ]
+                if len(results) > 200_000:
+                    results.clear()
+                results[memo_key] = ranked
             for rank, (doc_id, sim, matched) in enumerate(ranked):
                 for mt in matched:
                     out["conv_id"].append(conv_id)

@@ -251,6 +251,53 @@ def events_sessionize(sf_dir: str, n_buckets: int = 64):
             .groupby("_b").map_groups(sessions, batch_format="pandas"))
 
 
+def events_distinct_users_hourly(sf_dir: str, n_buckets: int = 32):
+    """Exact ``COUNT(DISTINCT user_id)`` per (event_type, 1h window).
+
+    Distinct-count is not an algebraic aggregate — a naive
+    ``groupby(key).count_distinct`` would haul every raw event row through
+    the shuffle. Scale shape here: (1) each batch locally dedups
+    (event_type, hour, user_id), so the shuffle moves at most one row per
+    distinct tuple per block; (2) rows hash-bucket by ``user_id`` so every
+    user lands in exactly ONE bucket — per-bucket global dedup + size()
+    therefore yields *disjoint* partial counts that simply sum; (3) a tiny
+    (event_type, hour) aggregate folds n_buckets partials per window.
+    Nothing ever groups a whole window's users into one task, so a hot
+    window (every user active in one hour) still spreads over n_buckets."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": hour.to_pandas(),
+            "user_id": batch.column("user_id").to_pandas(),
+        }).drop_duplicates()
+        # user_id keys the bucket (not crc32 of the tuple): a user's rows
+        # must co-locate for the per-bucket dedup to be global
+        df["_ub"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(df)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        part = (g.drop_duplicates(["event_type", "hour", "user_id"])
+                .groupby(["event_type", "hour"], sort=False, as_index=False)
+                .agg(n_users=("user_id", "size")))
+        part["n_users"] = part["n_users"].astype(np.int64)
+        return _arrow(part)
+
+    out = (ds.map_batches(local_distinct, batch_format="pyarrow")
+           .groupby("_ub").map_groups(bucket_partials, batch_format="pandas")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n_users", alias_name="n_users")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype("int64")
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 # -- dedup -----------------------------------------------------------------
 
 def dedup_exact(sf_dir: str):

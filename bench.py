@@ -29,6 +29,7 @@ BENCH_QUERIES = (
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_filter", "events_topk_hourly",
+    "events_distinct_users_hourly",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",

@@ -1,0 +1,43 @@
+"""events_distinct_users_hourly: the bucketed exact-distinct aggregate vs a
+single-process pandas naive twin, plus the disjoint-partials invariant the
+scale shape relies on (each user_id lands in exactly one bucket)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _naive(sf_dir: str) -> set:
+    df = pq.read_table(
+        sf_dir + "/events.parquet",
+        columns=["event_type", "ts", "user_id"]).to_pandas()
+    hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+    agg = (df.assign(hour=hour)
+           .groupby(["event_type", "hour"])["user_id"].nunique())
+    return {(et, h, int(n)) for (et, h), n in agg.items()}
+
+
+def test_distinct_users_hourly_matches_naive(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        events_distinct_users_hourly)
+
+    got = events_distinct_users_hourly(SF_DIR).to_pandas()
+    got_set = set(zip(got["event_type"], got["hour"],
+                      got["n_users"].astype(int)))
+    assert got_set == _naive(SF_DIR)
+
+
+def test_distinct_users_hourly_bucket_independence(ray_session):
+    # the disjoint-partials argument: results identical at any bucket count
+    from address_semantic_search_ray.pipelines.queries import (
+        events_distinct_users_hourly)
+
+    a = events_distinct_users_hourly(SF_DIR, n_buckets=1).to_pandas()
+    b = events_distinct_users_hourly(SF_DIR, n_buckets=7).to_pandas()
+    key = ["event_type", "hour"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key + ["n_users"]],
+        b.sort_values(key).reset_index(drop=True)[key + ["n_users"]])
