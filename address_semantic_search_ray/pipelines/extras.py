@@ -312,7 +312,8 @@ class ExplainLinker:
 
 
 def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
-                  region_dict_path: str | None = None, concurrency: int = 8):
+                  region_dict_path: str | None = None,
+                  concurrency: int | None = None):
     """Distributed explain-mode linking over the mentions checkpoint.
 
     ONE broadcast index (the flat numpy payload, plasma-mapped zero-copy per
@@ -330,9 +331,10 @@ def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
     region_dict_path = region_dict_path or default_region_dict_path()
     addresses_path = os.path.join(data_dir, "addresses.parquet")
     # an actor pool RESERVES its CPUs: leave >=2 for the read/reduce tasks
-    # or the pipeline livelocks on small clusters
-    n_cpus = int(ray.cluster_resources().get("CPU", concurrency + 2))
-    concurrency = max(2, min(concurrency, n_cpus - 2))
+    # or the pipeline livelocks on small clusters. Default = the fused
+    # stage's measured saturation point (~20 actors per socket, BASELINE.md)
+    n_cpus = int(ray.cluster_resources().get("CPU", 10))
+    concurrency = max(2, min(concurrency or 20, n_cpus - 2))
     region_ref = put_region_table(region_dict_path)
     if estimate_index_bytes(addresses_path) <= SMALL_INDEX_OVERLAP_MAX_BYTES:
         np_index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)
