@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q.similarity_topk,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
+        "knn_graph": q.knn_graph,
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
         # multimodal plumbing
@@ -331,6 +332,19 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "knn_graph": """
+            WITH s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+                              list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[]) AS cos
+                       FROM embeddings a, embeddings b
+                       WHERE a.vec_id <> b.vec_id),
+                 r AS (SELECT vec_id, neighbor_id, cos,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY cos DESC, neighbor_id) AS rank
+                       FROM s)
+            SELECT vec_id, neighbor_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

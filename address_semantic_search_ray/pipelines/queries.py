@@ -1064,6 +1064,69 @@ def similarity_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     return partials.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
+def _build_knn_corpus(path: str):
+    """Ray task: (ids, L2-normalized f64 matrix) of the whole embedding
+    table, built off-driver and broadcast via ObjectRef (plasma zero-copy
+    per node)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.vector import normalize_rows
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = normalize_rows(
+        np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
+    return ids, mat
+
+
+_build_knn_corpus_task = ray.remote(_build_knn_corpus)
+
+
+def knn_graph(sf_dir: str, k: int = 5):
+    """Exact k-NN graph over the embedding table: each vector's top-k cosine
+    neighbors — the embedding-curation primitive next to near-dup (cluster
+    seeding, diversity sampling, curriculum neighbors).
+
+    Scale shape: the corpus side is built in ONE Ray task and broadcast
+    (``ray.put`` once, plasma-mapped zero-copy per node; past worker memory
+    it shards like the kg corpus index with a per-batch partial-top-k fold
+    across shard refs), while the query side STREAMS — one f64 BLAS matmul
+    per batch, per-row selection, no shuffle anywhere. Selection here is a
+    full per-row lexsort (exact ties: cos desc, neighbor_id asc — the
+    oracle's ``row_number`` order); the >>100k-corpus path is argpartition
+    to ~4k candidates + the same lexsort among them."""
+    path = _t(sf_dir, "embeddings")
+    ref = _build_knn_corpus_task.remote(path)
+
+    def knn_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.vector import normalize_rows
+
+        ids, mat = ray.get(ref)
+        kk = min(k, len(ids) - 1)
+        if kk <= 0 or not len(df):
+            return pd.DataFrame({
+                "vec_id": np.asarray([], dtype=np.int64),
+                "neighbor_id": np.asarray([], dtype=np.int64),
+                "cos": np.asarray([], dtype=np.float64),
+                "rank": np.asarray([], dtype=np.int64)})
+        q_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        qm = normalize_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sims = qm @ mat.T
+        sims[ids[None, :] == q_ids[:, None]] = -np.inf  # exclude self
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        top = order[:, :kk]
+        rows = np.repeat(np.arange(len(q_ids)), kk)
+        return pd.DataFrame({
+            "vec_id": np.repeat(q_ids, kk),
+            "neighbor_id": ids[top.ravel()],
+            "cos": np.round(sims[rows, top.ravel()], 6),
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(q_ids)),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(knn_batch, batch_format="pandas")
+
+
 def similarity_topk_lsh(sf_dir: str, k: int = 5, n_queries: int = 5, n_bits: int = 6):
     """LSH-bucketed ANN: probe only the query's bucket (bounded scan)."""
     from ..stages.vector import lsh_bucket_batch_fn, lsh_planes, make_topk_final, normalize_rows

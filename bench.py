@@ -34,7 +34,8 @@ BENCH_QUERIES = (
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",
     "text_lang_id", "lang_stats", "similarity_topk", "similarity_topk_lsh",
-    "similarity_topk_ivf", "embedding_near_dup", "embedding_near_dup_lsh",
+    "similarity_topk_ivf", "knn_graph",
+    "embedding_near_dup", "embedding_near_dup_lsh",
     "multimodal_image_meta", "kg_links_explain",
 )
 
