@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q.events_sessionize,
         "events_topk_hourly": q.events_topk_hourly,
         "events_distinct_users_hourly": q.events_distinct_users_hourly,
+        "events_retention": q.events_retention,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q.text_quality,
         "text_lang_id": q.text_lang_id,
         "text_fingerprint": q.text_fingerprint,
+        "text_scrub_pii": q.text_scrub_pii,
         "token_quantiles": q.token_quantiles,
         "decontaminate": q.decontaminate,
         "stratified_sample": q.stratified_sample,
@@ -148,6 +150,16 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+                        FROM events),
+                 c AS (SELECT user_id, min(day) AS cohort_day
+                       FROM ud GROUP BY user_id)
+            SELECT c.cohort_day, ud.day, count(*) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "events_hopping": """
             WITH w AS (SELECT event_type, value,
@@ -314,6 +326,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 20
+        """,
+        "text_scrub_pii": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{6,}', '<NUM>', 'g') AS text
+            FROM documents
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -298,6 +298,48 @@ def events_distinct_users_hourly(sf_dir: str, n_buckets: int = 32):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def events_retention(sf_dir: str, n_buckets: int = 32):
+    """Cohort retention: for each (cohort day = a user's first active day,
+    active day) cell, the number of distinct users — the grid a D1/D7/D30
+    retention report reads off.
+
+    Scale shape: a user's cohort day needs ALL of that user's rows in one
+    place, so the one shuffle buckets locally-deduped (user, day) rows by
+    ``user_id`` — moving distinct tuples, never raw events. Inside each
+    bucket the cohort is a vectorized transform('min') and the cell counts
+    are partial sums over users that are DISJOINT across buckets (a user
+    lives in exactly one), so the final (cohort_day, day) aggregate folds
+    n_buckets bounded partials per cell. Lexicographic min on '%Y-%m-%d'
+    strings == chronological min."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_pandas(),
+            "day": day.to_pandas(),
+        }).drop_duplicates()
+        df["_ub"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(df)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        part = (g.assign(cohort_day=g.groupby("user_id")["day"].transform("min"))
+                .groupby(["cohort_day", "day"], sort=False, as_index=False)
+                .agg(n_users=("user_id", "size")))
+        part["n_users"] = part["n_users"].astype(np.int64)
+        return _arrow(part)
+
+    out = (ds.map_batches(local_distinct, batch_format="pyarrow")
+           .groupby("_ub").map_groups(bucket_partials, batch_format="pandas")
+           .groupby(["cohort_day", "day"])
+           .aggregate(Sum("n_users", alias_name="n_users")))
+    return out.map_batches(
+        lambda df: df.assign(n_users=df["n_users"].astype("int64")),
+        batch_format="pandas")
+
+
 # -- dedup -----------------------------------------------------------------
 
 def dedup_exact(sf_dir: str):
@@ -1033,6 +1075,33 @@ def text_fingerprint(sf_dir: str):
         naive.write_fingerprints(_t(sf_dir, "documents"), out_dir)
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# both engines run RE2 (Arrow's replace_substring_regex and DuckDB's
+# regexp_replace), so the scrub is vectorized AND byte-parity-exact with the
+# oracle by construction — no Python re loop, no dialect drift
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def text_scrub_pii(sf_dir: str):
+    """PII redaction — the map-only scrub every training-data pipeline runs
+    before anything else touches the text: emails, phone-shaped digit runs,
+    then any residual >=6-digit run, applied in that fixed order so a
+    pattern never sees text another pattern already consumed. Pure
+    streaming map over zero-copy Arrow batches; one RE2 pass per pattern
+    per batch."""
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        for pat, repl in PII_PATTERNS:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        return pa.table({"doc_id": batch.column("doc_id"), "text": col})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(scrub, batch_format="pyarrow")
 
 
 def lang_stats(sf_dir: str):

@@ -41,3 +41,32 @@ def test_distinct_users_hourly_bucket_independence(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True)[key + ["n_users"]],
         b.sort_values(key).reset_index(drop=True)[key + ["n_users"]])
+
+
+def test_retention_matches_naive(ray_session):
+    from address_semantic_search_ray.pipelines.queries import events_retention
+
+    df = pq.read_table(SF_DIR + "/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+    ud = df[["user_id", "day"]].drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].transform("min")
+    want = (ud.assign(cohort_day=cohort)
+            .groupby(["cohort_day", "day"]).size())
+    want_set = {(c, d, int(n)) for (c, d), n in want.items()}
+
+    got = events_retention(SF_DIR).to_pandas()
+    got_set = set(zip(got["cohort_day"], got["day"],
+                      got["n_users"].astype(int)))
+    assert got_set == want_set
+
+
+def test_retention_bucket_independence(ray_session):
+    from address_semantic_search_ray.pipelines.queries import events_retention
+
+    key = ["cohort_day", "day"]
+    a = (events_retention(SF_DIR, n_buckets=1).to_pandas()
+         .sort_values(key).reset_index(drop=True)[key + ["n_users"]])
+    b = (events_retention(SF_DIR, n_buckets=5).to_pandas()
+         .sort_values(key).reset_index(drop=True)[key + ["n_users"]])
+    pd.testing.assert_frame_equal(a, b)
