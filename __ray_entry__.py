@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG-construction flagship
         "kg_triples": q.kg_triples,
         "kg_mentions": q.kg_mentions,
+        "kg_region_degree": q.kg_region_degree,
         "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
         "kg_turn_stats": q.kg_turn_stats,
@@ -517,6 +518,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             SELECT subj, pred, obj, conv_id, turn_idx, district_key, score
             FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+        """,
+        "kg_region_degree": f"""
+            SELECT obj, pred, count(*) AS n
+            FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+            GROUP BY 1, 2
         """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, role, district_key, town,

@@ -1416,6 +1416,32 @@ def kg_mentions(sf_dir: str):
     return rd.read_parquet(res["mentions"]).drop_columns(["region_chain"])
 
 
+def kg_region_degree(sf_dir: str):
+    """Graph analytics over the materialized triple table: in-degree per
+    (node, predicate) — the hot-node summary a KG build ships with its
+    output (which region nodes concentrate located_at/mentions edges, how
+    deep the part_of chains fan in). Pure streaming aggregate: pruned
+    column read of the partitioned triples parquet → per-batch partial
+    counts → one small (obj, pred) groupby; the triple stream itself never
+    materializes. The oracle runs the same aggregate over the naive
+    single-process twin's triples — two independent triple constructions
+    must agree edge-for-edge for the counts to hash-match."""
+    _ensure_kg_naive(sf_dir)
+    ds = rd.read_parquet(_kg_artifacts(sf_dir)["triples"],
+                         columns=["pred", "obj"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = df.groupby(["obj", "pred"], sort=False, as_index=False) \
+            .agg(n=("pred", "size"))
+        part["n"] = part["n"].astype(np.int64)
+        return _arrow(part)
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["obj", "pred"]).aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(lambda df: df.assign(n=df["n"].astype("int64")),
+                           batch_format="pandas")
+
+
 def kg_links_explain(sf_dir: str):
     """Explain-mode linking (the reference's ``explain`` surface,
     SimilarityComputer.java:456-550 + MatchedTerm.java:3-45, exposed by
