@@ -258,3 +258,28 @@ def test_linker_pool_balances_under_district_skew(ray_session, tiny_data,
     assert sum(counts) >= n  # every turn carries >=1 mention by construction
     assert len(counts) == 2, counts  # both pool actors actually participated
     assert max(counts) <= 2.0 * min(counts), counts
+
+
+def test_streaming_invariant_under_tiny_blocks(ray_session, tiny_data,
+                                               tmp_path_factory,
+                                               pipeline_result):
+    """Block partitioning must not leak into results: forcing Ray Data to
+    split the stream into ~64 KiB blocks (hundreds of blocks where the
+    default makes a handful — the memory-bounded regime a 100 TB run lives
+    in, where the object store spills rather than holding whole partitions)
+    emits the same triples byte-for-byte."""
+    from ray.data import DataContext
+
+    from address_semantic_search_ray.pipelines.kg import run_kg_streaming
+
+    ctx = DataContext.get_current()
+    before = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        out = str(tmp_path_factory.mktemp("kgstream_tinyblocks"))
+        res = run_kg_streaming(tiny_data, out, concurrency=2, batch_size=64)
+        a = pq.read_table(res["triples"])
+    finally:
+        ctx.target_max_block_size = before
+    b = pq.read_table(pipeline_result["triples"])
+    assert _triple_set(a) == _triple_set(b)
