@@ -450,7 +450,8 @@ def run_kg_streaming(
     triples_ds = (
         rd.read_parquet(transcripts_path,
                         columns=["conv_id", "turn_idx", "role", "text"],
-                        override_num_blocks=concurrency * 6)
+                        override_num_blocks=concurrency * int(
+                            os.environ.get("ASR_STREAM_BLOCKS_PER_ACTOR", "6")))
         .map_batches(
             MentionLinkTriplesStage,
             fn_constructor_args=(region_ref, index_ref, top_n),
@@ -470,4 +471,8 @@ def run_kg_streaming(
 
     shutil.rmtree(triples_dir, ignore_errors=True)
     triples_ds.write_parquet(triples_dir)
-    return {"triples": triples_dir}
+    result = {"triples": triples_dir}
+    if os.environ.get("ASR_STREAM_STATS") == "1":
+        # per-stage wall/cpu/row audit of the executed plan (BASELINE.md)
+        result["stats"] = triples_ds.stats()
+    return result
