@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": q.text_lang_id,
         "text_fingerprint": q.text_fingerprint,
         "text_scrub_pii": q.text_scrub_pii,
+        "text_repetition": q.text_repetition,
         "token_quantiles": q.token_quantiles,
         "decontaminate": q.decontaminate,
         "stratified_sample": q.stratified_sample,
@@ -327,6 +328,19 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 20
+        """,
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                 b AS (SELECT doc_id,
+                              CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                                   ELSE [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                              END AS bigrams
+                       FROM w)
+            SELECT doc_id,
+                   round(CASE WHEN len(bigrams) = 0 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+                         END, 6) AS rep_bigram
+            FROM b
         """,
         "text_scrub_pii": """
             SELECT doc_id,

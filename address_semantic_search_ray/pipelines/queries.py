@@ -1058,6 +1058,15 @@ def text_quality(sf_dir: str):
         .map_batches(quality_batch, batch_format="pandas")
 
 
+def text_repetition(sf_dir: str):
+    """Within-doc bigram repetition (Gopher quality signal): pure
+    streaming map, pruned 2-column read."""
+    from ..stages.text import repetition_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(repetition_batch, batch_format="pandas")
+
+
 def text_lang_id(sf_dir: str):
     from ..stages.text import lang_id_batch
 

@@ -50,6 +50,23 @@ def quality_batch(batch: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc_id, rep_bigram: Gopher-style within-doc repetition — the fraction
+    of word bigrams that are repeats (1 - distinct/total; 0 for <2 tokens).
+    High values flag boilerplate/spam the quality filter drops."""
+    def rep(t: str) -> float:
+        ws = t.split(" ")
+        n = len(ws) - 1
+        if n <= 0:
+            return 0.0
+        return round(1.0 - len(set(zip(ws, ws[1:]))) / n, 6)
+
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "rep_bigram": batch["text"].map(rep).astype("float64"),
+    })
+
+
 def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Stopword-profile language ID (heuristic; deterministic)."""
     langs = sorted(LANG_PROFILES)
