@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": q.dedup_ngram_jaccard,
         "dedup_minhash_lsh": q.dedup_minhash_lsh,
         "dedup_simhash": q.dedup_simhash,
+        "dedup_common_spans": q.dedup_common_spans,
         "dedup_clusters": q.dedup_clusters,
         "dedup_filter": q.dedup_filter,
         "split_assign": q.split_assign,
@@ -450,6 +451,13 @@ def oracle_sql() -> dict[str, str]:
         # below is recomputed single-process with plain loops when the
         # matching queries() entry runs at correctness scale; the SQL re-does
         # the distributable part (pairing, verify, hamming) in DuckDB.
+        "dedup_common_spans": """
+            WITH s AS (SELECT DISTINCT doc_id, md5(substr(text, o, 64)) AS h
+                       FROM documents,
+                            UNNEST(range(1, length(text) - 64 + 2, 16)) AS t(o))
+            SELECT h, count(*)::BIGINT AS n_docs
+            FROM s GROUP BY h HAVING count(*) >= 2
+        """,
         "dedup_simhash": f"""
             WITH s AS (SELECT doc_id, simhash
                        FROM read_parquet('{SF001_ORACLE}/simhash_sigs.parquet'))

@@ -711,6 +711,56 @@ def _verify_candidate_pairs(docs, cands, sim_fn, threshold: float):
             .groupby("_pb").map_groups(verify_bucket, batch_format="pandas"))
 
 
+def dedup_common_spans(sf_dir: str, width: int = 64, stride: int = 16):
+    """Duplicated-span detection — the exact-substring-dedup primitive (Lee
+    et al., "Deduplicating Training Data Makes Language Models Better"):
+    fixed-width character windows on a stride, hashed and counted across
+    docs; a window landing in >=2 distinct docs marks a span a
+    substring-dedup pass would cut (boilerplate headers, license blocks,
+    template crawl chrome).
+
+    Scale shape: per-batch window hashing with a within-doc seen-set emits
+    fixed-width (hash, doc_id) rows — bounded by corpus_chars/stride, never
+    quadratic, and no document text ever shuffles; one int-bucketed groupby
+    (crc32(hash) % 32 — Ray pays per bucket, not per distinct span) counts
+    docs per hash and keeps the >=2 survivors."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(df: pd.DataFrame) -> pa.Table:
+        import hashlib
+
+        doc_ids: list = []
+        hashes: list = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            seen = set()
+            for o in range(0, len(text) - width + 1, stride):
+                h = hashlib.md5(text[o:o + width].encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    hashes.append(h)
+                    doc_ids.append(doc_id)
+        out = pd.DataFrame({
+            "h": hashes,
+            "doc_id": np.asarray(doc_ids, dtype=np.int64),
+        })
+        out["_hb"] = (np.fromiter((zlib.crc32(x.encode()) for x in out["h"]),
+                                  dtype=np.uint32, count=len(out))
+                      % np.uint32(32)).astype(np.int64)
+        return _arrow(out)
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        # (h, doc_id) rows are already distinct (whole docs never split
+        # across batches; the seen-set dedups within one)
+        agg = g.groupby("h", sort=False, as_index=False) \
+            .agg(n_docs=("doc_id", "size"))
+        agg = agg[agg["n_docs"] >= 2].reset_index(drop=True)
+        agg["n_docs"] = agg["n_docs"].astype(np.int64)
+        return _arrow(agg)
+
+    return (docs.map_batches(windows, batch_format="pandas")
+            .groupby("_hb").map_groups(count_bucket, batch_format="pandas"))
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup: ONE shuffle instead of four.
 

@@ -28,7 +28,8 @@ BENCH_QUERIES = (
     "asof_join_events_orders", "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "dedup_filter", "events_topk_hourly",
+    "dedup_clusters", "dedup_filter", "dedup_common_spans",
+    "events_topk_hourly",
     "events_distinct_users_hourly",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",

@@ -247,3 +247,27 @@ def test_degenerate_corpus_short_texts(ray_session, tmp_path):
 
     assert dedup_ngram_jaccard(str(tmp_path)).to_pandas().empty
     assert dedup_clusters(str(tmp_path)).to_pandas().empty
+
+
+def test_common_spans_detects_shared_prefix(ray_session, tmp_path):
+    from address_semantic_search_ray.pipelines.queries import dedup_common_spans
+
+    shared = "x" * 70
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([shared + " tail one", shared + " other tail",
+                          "completely different and also quite long " * 3]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = dedup_common_spans(str(tmp_path)).to_pandas()
+    # docs 1 and 2 share the width-64 window at offset 0; doc 3 shares none
+    assert (got["n_docs"] == 2).all() and len(got) >= 1
+
+
+def test_common_spans_short_docs_empty(ray_session, tmp_path):
+    from address_semantic_search_ray.pipelines.queries import dedup_common_spans
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["short", "also short"])})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    assert dedup_common_spans(str(tmp_path)).to_pandas().empty
