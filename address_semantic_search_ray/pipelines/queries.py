@@ -1493,12 +1493,22 @@ def kg_region_degree(sf_dir: str):
         part = df.groupby(["obj", "pred"], sort=False, as_index=False) \
             .agg(n=("pred", "size"))
         part["n"] = part["n"].astype(np.int64)
+        # int-bucket the shuffle key: Ray's sort-shuffle over tens of
+        # thousands of distinct STRING (obj, pred) keys dominated the query
+        # (11.8 s vs ~1 s); 32 int buckets + a pandas sum inside move the
+        # same partial rows but sort 8-byte ints
+        part["_b"] = (np.fromiter((zlib.crc32(x.encode()) for x in part["obj"]),
+                                  dtype=np.uint32, count=len(part))
+                      % np.uint32(32)).astype(np.int64)
         return _arrow(part)
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["obj", "pred"]).aggregate(Sum("n", alias_name="n")))
-    return out.map_batches(lambda df: df.assign(n=df["n"].astype("int64")),
-                           batch_format="pandas")
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["obj", "pred"], sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return _arrow(out)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_b").map_groups(sum_bucket, batch_format="pandas"))
 
 
 def kg_links_explain(sf_dir: str):

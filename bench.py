@@ -132,6 +132,11 @@ def run_bench() -> dict:
         # the scaling measurement is part of the default bench output so the
         # per-round BENCH json always carries it
         result["scaling"] = _scaling_pair(8, 32)
+        # supplementary doubling BELOW the single-socket saturation point
+        # (~16-20 workers, BASELINE.md): on a real N->4N-node cluster every
+        # doubling adds memory buses with the cores, so this pair — not the
+        # bus-saturated 16->32 one — is the regime a cluster doubling lives in
+        result["scaling_8_16"] = _scaling_pair(8, 16, runs=1)
     return result
 
 
