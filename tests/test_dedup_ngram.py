@@ -271,3 +271,29 @@ def test_common_spans_short_docs_empty(ray_session, tmp_path):
                     "text": pa.array(["short", "also short"])})
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     assert dedup_common_spans(str(tmp_path)).to_pandas().empty
+
+
+def test_ngram_pair_memo_invalidates_on_corpus_change(ray_session, tmp_path):
+    # the in-process pair-table memo keys on (path, size, mtime_ns,
+    # threshold): rewriting the corpus must recompute, not replay
+    import os
+    import time
+
+    from address_semantic_search_ray.pipelines.queries import dedup_ngram_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running on"
+    t1 = [base + " alpha", base + " alphb", "zzz completely different text"]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(t1)})
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(tbl, path)
+    first = dedup_ngram_jaccard(str(tmp_path), threshold=0.5).to_pandas()
+    assert set(zip(first["doc_id_a"], first["doc_id_b"])) == {(1, 2)}
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    tbl2 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array(["aaa", "bbb", "ccc"])})
+    pq.write_table(tbl2, path)
+    os.utime(path)
+    second = dedup_ngram_jaccard(str(tmp_path), threshold=0.5).to_pandas()
+    assert second.empty
