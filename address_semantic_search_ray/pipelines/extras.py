@@ -332,9 +332,14 @@ def links_explain(data_dir: str, mentions_dir: str, top_n: int = 2,
     addresses_path = os.path.join(data_dir, "addresses.parquet")
     # an actor pool RESERVES its CPUs: leave >=2 for the read/reduce tasks
     # or the pipeline livelocks on small clusters. Default = the fused
-    # stage's measured saturation point (~20 actors per socket, BASELINE.md)
-    n_cpus = int(ray.cluster_resources().get("CPU", 10))
-    concurrency = max(2, min(concurrency or 20, n_cpus - 2))
+    # stage's measured saturation point (~20 actors per socket, BASELINE.md);
+    # an explicit request is honored (clamped only when the CPU count is
+    # actually known — right after init the resource table can be empty)
+    req = 20 if concurrency is None else concurrency
+    n_cpus = ray.cluster_resources().get("CPU")
+    if n_cpus:
+        req = min(req, int(n_cpus) - 2)
+    concurrency = max(2, req)
     region_ref = put_region_table(region_dict_path)
     if estimate_index_bytes(addresses_path) <= SMALL_INDEX_OVERLAP_MAX_BYTES:
         np_index_ref = _build_small_corpus_index.remote(addresses_path, region_ref)

@@ -35,6 +35,16 @@ def _arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False) \
         .replace_schema_metadata(None)
 
+def _crc_bucket(values, n_buckets: int) -> np.ndarray:
+    """int64 shuffle bucket of string keys: crc32 % n_buckets (NEVER builtin
+    ``hash`` — unstable across workers). One shared helper so the five
+    bucketed-groupby stages can't drift."""
+    vals = list(values) if not hasattr(values, "__len__") else values
+    return (np.fromiter((zlib.crc32(v.encode()) for v in vals),
+                        dtype=np.uint32, count=len(vals))
+            % np.uint32(n_buckets)).astype(np.int64)
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -378,13 +388,22 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.5):
     the join once, not once per consumer."""
     p = _t(sf_dir, "documents")
     st = os.stat(p)
-    key = (os.path.abspath(p), st.st_size, st.st_mtime_ns, threshold)
-    hit = _NGRAM_PAIRS_MEMO.get(key)
+    # the Ray session token (node id — fresh per ray.init; the job id is
+    # "01000000" in EVERY local session) is part of the key: a
+    # MaterializedDataset's object refs die with their session, so a memo
+    # hit from a previous ray.init would replay dead refs ("owner is
+    # unknown" on consume)
+    sess = ray.get_runtime_context().get_node_id() if ray.is_initialized() \
+        else None
+    key = (sess, os.path.abspath(p), st.st_size, st.st_mtime_ns, threshold)
+    hit = _NGRAM_PAIRS_MEMO.get(key) if sess is not None else None
     if hit is None:
         if len(_NGRAM_PAIRS_MEMO) > 8:
             _NGRAM_PAIRS_MEMO.clear()
         hit = _ngram_pairs_compute(sf_dir, threshold).materialize()
-        _NGRAM_PAIRS_MEMO[key] = hit
+        # computing initialized Ray if it wasn't; re-key under the live session
+        sess = ray.get_runtime_context().get_node_id()
+        _NGRAM_PAIRS_MEMO[(sess,) + key[1:]] = hit
     return hit
 
 
@@ -422,9 +441,7 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
     # df) fold from a tiny (df -> count) histogram of that aggregate, and
     # only the bounded HEAVY head is broadcast for the prefix order.
     def add_shingle_bucket(h: pd.DataFrame) -> pa.Table:
-        h["_sb"] = (np.fromiter((zlib.crc32(s.encode()) for s in h["shingle"]),
-                                dtype=np.uint32, count=len(h))
-                    % np.uint32(64)).astype(np.int64)
+        h["_sb"] = _crc_bucket(h["shingle"], 64)
         return _arrow(h)
 
     def sum_bucket(g: pd.DataFrame) -> pa.Table:
@@ -494,9 +511,7 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
         out = ngram_prefix_postings(batch, ray.get(df_ref), threshold, cap=cap)
-        out["_sb"] = (np.fromiter((zlib.crc32(s.encode()) for s in out["shingle"]),
-                                  dtype=np.uint32, count=len(out))
-                      % np.uint32(32)).astype(np.int64)
+        out["_sb"] = _crc_bucket(out["shingle"], 32)
         return _arrow(out)
 
     cands = (docs.map_batches(postings, batch_format="pandas")
@@ -739,13 +754,18 @@ def dedup_common_spans(sf_dir: str, width: int = 64, stride: int = 16):
                     seen.add(h)
                     hashes.append(h)
                     doc_ids.append(doc_id)
+        # an all-short-text batch yields zero windows, and pandas types an
+        # empty column as float64/null — a block whose schema conflicts with
+        # its string siblings downstream; emit the explicit schema instead
+        if not hashes:
+            return pa.table({"h": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "_hb": pa.array([], pa.int64())})
         out = pd.DataFrame({
             "h": hashes,
             "doc_id": np.asarray(doc_ids, dtype=np.int64),
         })
-        out["_hb"] = (np.fromiter((zlib.crc32(x.encode()) for x in out["h"]),
-                                  dtype=np.uint32, count=len(out))
-                      % np.uint32(32)).astype(np.int64)
+        out["_hb"] = _crc_bucket(out["h"], 32)
         return _arrow(out)
 
     def count_bucket(g: pd.DataFrame) -> pa.Table:
@@ -929,9 +949,7 @@ def events_topk_hourly(sf_dir: str, k: int = 3, n_buckets: int = 32):
         })
         g = (df.sort_values(["value", "event_id"], ascending=False, kind="stable")
              .groupby("hour", sort=False).head(k))
-        g["_b"] = (np.fromiter((zlib.crc32(h.encode()) for h in g["hour"]),
-                               dtype=np.uint32, count=len(g))
-                   % np.uint32(n_buckets)).astype(np.int64)
+        g["_b"] = _crc_bucket(g["hour"], n_buckets)
         return _arrow(g)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
@@ -1497,9 +1515,7 @@ def kg_region_degree(sf_dir: str):
         # thousands of distinct STRING (obj, pred) keys dominated the query
         # (11.8 s vs ~1 s); 32 int buckets + a pandas sum inside move the
         # same partial rows but sort 8-byte ints
-        part["_b"] = (np.fromiter((zlib.crc32(x.encode()) for x in part["obj"]),
-                                  dtype=np.uint32, count=len(part))
-                      % np.uint32(32)).astype(np.int64)
+        part["_b"] = _crc_bucket(part["obj"], 32)
         return _arrow(part)
 
     def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -297,3 +297,19 @@ def test_ngram_pair_memo_invalidates_on_corpus_change(ray_session, tmp_path):
     os.utime(path)
     second = dedup_ngram_jaccard(str(tmp_path), threshold=0.5).to_pandas()
     assert second.empty
+
+
+def test_common_spans_short_first_block_schema(ray_session, tmp_path):
+    # a leading all-short-text batch emits a ZERO-window block; its schema
+    # must still be (h: string, ...) or downstream block unification breaks
+    from address_semantic_search_ray.pipelines.queries import dedup_common_spans
+
+    shared = "y" * 70
+    texts = ["tiny"] * 1100 + [shared + " one", shared + " two"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = dedup_common_spans(str(tmp_path)).to_pandas()
+    assert len(got) == 1 and int(got["n_docs"].iloc[0]) == 2
