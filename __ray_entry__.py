@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q.text_fingerprint,
         "text_scrub_pii": q.text_scrub_pii,
         "text_repetition": q.text_repetition,
+        "docs_top_terms": q.docs_top_terms,
         "token_quantiles": q.token_quantiles,
         "decontaminate": q.decontaminate,
         "stratified_sample": q.stratified_sample,
@@ -329,6 +330,17 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
                 FROM documents) t
             WHERE rn <= 20
+        """,
+        "docs_top_terms": """
+            WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+                 c AS (SELECT lang, tok, count(*)::BIGINT AS n
+                       FROM w GROUP BY 1, 2),
+                 r AS (SELECT lang, tok, n,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY n DESC, tok) AS rank
+                       FROM c)
+            SELECT lang, tok, n, rank::BIGINT AS rank FROM r WHERE rank <= 10
         """,
         "text_repetition": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

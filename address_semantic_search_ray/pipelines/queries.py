@@ -1112,6 +1112,50 @@ def stratified_sample(sf_dir: str, k: int = 20):
             .groupby("lang").map_groups(final, batch_format="pandas"))
 
 
+def docs_top_terms(sf_dir: str, k: int = 10, n_buckets: int = 64):
+    """Per-language top-k tokens by global count — the vocabulary-inspection
+    primitive (stopword discovery, tokenizer sanity, corpus drift).
+
+    Exact two-level top-k: (1) per-batch partial (lang, token) counts,
+    token-bucketed so every token's total lands wholly in one bucket; (2)
+    inside each bucket: sum, then keep only that bucket's top-k candidates
+    per lang (provably a superset of the global winners that live there);
+    (3) a final tiny per-lang merge ranks <= k * n_buckets candidates under
+    the (count DESC, token ASC) total order. The full vocabulary never
+    leaves its bucket; the driver sees nothing."""
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.split(" ")
+        flat = pd.DataFrame({
+            "lang": df["lang"].repeat(toks.str.len()),
+            "tok": np.concatenate(toks.to_numpy()),
+        })
+        part = flat.groupby(["lang", "tok"], sort=False, as_index=False) \
+            .agg(n=("tok", "size"))
+        part["n"] = part["n"].astype(np.int64)
+        part["_tb"] = _crc_bucket(part["tok"], n_buckets)
+        return _arrow(part)
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby(["lang", "tok"], sort=False, as_index=False)["n"].sum()
+        tot["n"] = tot["n"].astype(np.int64)
+        cand = (tot.sort_values(["n", "tok"], ascending=[False, True],
+                                kind="stable")
+                .groupby("lang", sort=False).head(k))
+        return _arrow(cand[["lang", "tok", "n"]])
+
+    def final_rank(g: pd.DataFrame) -> pa.Table:
+        top = g.sort_values(["n", "tok"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return _arrow(top[["lang", "tok", "n", "rank"]])
+
+    return (ds.map_batches(partial_counts, batch_format="pandas")
+            .groupby("_tb").map_groups(bucket_topk, batch_format="pandas")
+            .groupby("lang").map_groups(final_rank, batch_format="pandas"))
+
+
 def text_token_count(sf_dir: str):
     from ..stages.text import token_count_batch
 

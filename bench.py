@@ -34,7 +34,8 @@ BENCH_QUERIES = (
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",
-    "text_lang_id", "text_scrub_pii", "text_repetition", "events_retention",
+    "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
+    "events_retention",
     "lang_stats", "similarity_topk", "similarity_topk_lsh",
     "similarity_topk_ivf", "knn_graph",
     "embedding_near_dup", "embedding_near_dup_lsh",
