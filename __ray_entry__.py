@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_hourly": q.events_topk_hourly,
         "events_distinct_users_hourly": q.events_distinct_users_hourly,
         "events_retention": q.events_retention,
+        "events_zscore_hourly": q.events_zscore_hourly,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -154,6 +155,18 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_zscore_hourly": """
+            WITH h AS (SELECT event_type,
+                              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, hour, n,
+                   round((n - avg(n) OVER (PARTITION BY event_type))
+                         / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z
+            FROM h
+            QUALIFY count(*) OVER (PARTITION BY event_type) >= 2
+                AND stddev_samp(n) OVER (PARTITION BY event_type) > 0
         """,
         "events_retention": """
             WITH ud AS (SELECT DISTINCT user_id,

@@ -261,6 +261,53 @@ def events_sessionize(sf_dir: str, n_buckets: int = 64):
             .groupby("_b").map_groups(sessions, batch_format="pandas"))
 
 
+def events_zscore_hourly(sf_dir: str):
+    """Per-type hourly-count anomaly scores: z = (n - mean_type) / std_type
+    over each event type's hourly series — the detector a traffic monitor
+    thresholds (spikes, outages, bot bursts).
+
+    Scale shape: the hourly aggregate is the same pre-combined one-shuffle
+    fold as ``events_hourly``, and its result is BOUNDED (types x hours,
+    independent of event count) — so the per-type mean/std pass is a tiny
+    ``map_groups`` over that aggregate, never over raw events. Types with
+    <2 hours or zero variance are excluded (z undefined), matching the
+    oracle's QUALIFY."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def window_partials(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                           format="%Y-%m-%d %H:00:00")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "hour": hour.to_pandas(),
+        })
+        part = df.groupby(["event_type", "hour"], sort=False,
+                          as_index=False).agg(n=("hour", "size"))
+        part["n"] = part["n"].astype(np.int64)
+        return _arrow(part)
+
+    hourly = (ds.map_batches(window_partials, batch_format="pyarrow")
+              .groupby(["event_type", "hour"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def zscore(g: pd.DataFrame) -> pa.Table:
+        n = g["n"].to_numpy(np.float64)
+        if len(n) < 2:
+            return _arrow(g.iloc[:0].assign(z=np.asarray([], np.float64))
+                          [["event_type", "hour", "n", "z"]])
+        std = np.std(n, ddof=1)
+        if std == 0.0:
+            return _arrow(g.iloc[:0].assign(z=np.asarray([], np.float64))
+                          [["event_type", "hour", "n", "z"]])
+        out = g.copy()
+        out["n"] = out["n"].astype(np.int64)
+        out["z"] = np.round((n - np.mean(n)) / std, 6)
+        return _arrow(out[["event_type", "hour", "n", "z"]])
+
+    return hourly.groupby("event_type").map_groups(zscore,
+                                                   batch_format="pandas")
+
+
 def events_distinct_users_hourly(sf_dir: str, n_buckets: int = 32):
     """Exact ``COUNT(DISTINCT user_id)`` per (event_type, 1h window).
 

@@ -70,3 +70,35 @@ def test_retention_bucket_independence(ray_session):
     b = (events_retention(SF_DIR, n_buckets=5).to_pandas()
          .sort_values(key).reset_index(drop=True)[key + ["n_users"]])
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zscore_excludes_degenerate_types(ray_session, tmp_path):
+    # one type with a single hour (std undefined) and one with constant
+    # hourly counts (std == 0) are excluded; a varying type gets z-scores
+    import numpy as np
+    import pyarrow as pa
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:20",            # 'single': 1 hour
+         "2024-01-01 00:05", "2024-01-01 01:05",            # 'flat': 1 per hour
+         "2024-01-01 00:01", "2024-01-01 00:02",            # 'vary': 2 then 1
+         "2024-01-01 01:03"]).astype("datetime64[us]")
+    types = ["single", "single", "flat", "flat", "vary", "vary", "vary"]
+    tbl = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1] * 7, pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array([0.0] * 7, pa.float64()),
+        "props": pa.array([""] * 7),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from address_semantic_search_ray.pipelines.queries import events_zscore_hourly
+
+    got = events_zscore_hourly(str(tmp_path)).to_pandas()
+    assert set(got["event_type"]) == {"vary"}
+    g = got.sort_values("hour")
+    n = g["n"].to_numpy(np.float64)
+    want = np.round((n - n.mean()) / n.std(ddof=1), 6)
+    assert np.array_equal(g["z"].to_numpy(), want)
