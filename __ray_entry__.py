@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hourly": q.events_distinct_users_hourly,
         "events_retention": q.events_retention,
         "events_zscore_hourly": q.events_zscore_hourly,
+        "events_funnel": q.events_funnel,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -155,6 +156,18 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_funnel": """
+            WITH a AS (SELECT user_id, min(epoch_us(ts)) AS first_a
+                       FROM events WHERE event_type = 'signup' GROUP BY user_id)
+            SELECT a.user_id,
+                   EXISTS (SELECT 1 FROM events b
+                           WHERE b.event_type = 'purchase'
+                             AND b.user_id = a.user_id
+                             AND epoch_us(b.ts) >= a.first_a
+                             AND epoch_us(b.ts) <= a.first_a + 604800000000
+                          ) AS converted
+            FROM a
         """,
         "events_zscore_hourly": """
             WITH h AS (SELECT event_type,

@@ -308,6 +308,55 @@ def events_zscore_hourly(sf_dir: str):
                                                    batch_format="pandas")
 
 
+def events_funnel(sf_dir: str, step_a: str = "signup",
+                  step_b: str = "purchase", window_s: int = 7 * 86400,
+                  n_buckets: int = 32):
+    """Temporal conversion funnel: for every user with a ``step_a`` event,
+    did a ``step_b`` event follow within the window of their FIRST
+    ``step_a``? The A-then-B-within-T join every product-analytics stack
+    ships.
+
+    Scale shape: the read prunes to the two step types at the source (an
+    arrow filter inside the map, so only (user_id, ts, is_b) rows ever
+    shuffle); ONE user-bucketed co-group joins each user's A and B events
+    vectorized inside the bucket. No per-user task, no raw-event shuffle of
+    the other event types."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch.column("event_type"),
+                                  value_set=pa.array([step_a, step_b])))
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_pandas(),
+            "ts_us": t.column("ts").to_pandas()
+                      .astype("datetime64[us]").astype("int64"),
+            "is_b": pc.equal(t.column("event_type"), step_b).to_pandas(),
+        })
+        df["_ub"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(df)
+
+    def convert(g: pd.DataFrame) -> pa.Table:
+        a = g[~g["is_b"]].groupby("user_id")["ts_us"].min()
+        if not len(a):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "converted": pa.array([], pa.bool_())})
+        b = g[g["is_b"]]
+        first_a = b["user_id"].map(a)
+        hit = b[(first_a.notna())
+                & (b["ts_us"] >= first_a)
+                & (b["ts_us"] <= first_a + window_s * 1_000_000)]
+        converted = set(hit["user_id"])
+        users = a.index.to_numpy(dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "converted": pa.array([int(u) in converted for u in users],
+                                  pa.bool_()),
+        })
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("_ub").map_groups(convert, batch_format="pandas"))
+
+
 def events_distinct_users_hourly(sf_dir: str, n_buckets: int = 32):
     """Exact ``COUNT(DISTINCT user_id)`` per (event_type, 1h window).
 

@@ -30,7 +30,7 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_filter", "dedup_common_spans",
     "events_topk_hourly",
-    "events_distinct_users_hourly", "events_zscore_hourly",
+    "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",

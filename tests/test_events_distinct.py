@@ -102,3 +102,35 @@ def test_zscore_excludes_degenerate_types(ray_session, tmp_path):
     n = g["n"].to_numpy(np.float64)
     want = np.round((n - n.mean()) / n.std(ddof=1), 6)
     assert np.array_equal(g["z"].to_numpy(), want)
+
+
+def test_funnel_window_boundaries(ray_session, tmp_path):
+    # user 1: B exactly at first_A + window (inclusive -> converted)
+    # user 2: B strictly before A (not converted)
+    # user 3: B after the window (not converted)
+    # user 4: A only (row present, not converted); user 5: B only (no row)
+    import pyarrow as pa
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    week = pd.Timedelta(days=7)
+    rows = [
+        (1, "signup", base), (1, "purchase", base + week),
+        (2, "purchase", base - pd.Timedelta(seconds=1)), (2, "signup", base),
+        (3, "signup", base), (3, "purchase", base + week + pd.Timedelta(seconds=1)),
+        (4, "signup", base),
+        (5, "purchase", base),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(pd.Series([r[2] for r in rows]).astype("datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from address_semantic_search_ray.pipelines.queries import events_funnel
+
+    got = events_funnel(str(tmp_path)).to_pandas().set_index("user_id")
+    assert dict(got["converted"]) == {1: True, 2: False, 3: False, 4: False}
