@@ -45,6 +45,15 @@ def _crc_bucket(values, n_buckets: int) -> np.ndarray:
             % np.uint32(n_buckets)).astype(np.int64)
 
 
+def _hour_key(ts_col):
+    """Arrow-native '%Y-%m-%d %H:00:00' tumbling-hour key (pandas
+    .dt.strftime is a per-row python call — it alone cost ~4 s of the 5.7 s
+    events_hourly at sf0.1). ONE definition so the operators that must agree
+    on hour keys (hourly / distinct-users / zscore / topk) can't drift."""
+    return pc.strftime(pc.floor_temporal(ts_col, unit="hour"),
+                       format="%Y-%m-%d %H:00:00")
+
+
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -166,8 +175,7 @@ def events_hourly(sf_dir: str):
         # call — it alone cost ~4 s of the 5.7 s at sf0.1) + the local
         # (event_type, hour) partial combine so the shuffle moves one row
         # per key per block, not raw events (the stages/idf.py pattern)
-        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
-                           format="%Y-%m-%d %H:00:00")
+        hour = _hour_key(batch.column("ts"))
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pandas(),
             "hour": hour.to_pandas(),
@@ -275,8 +283,7 @@ def events_zscore_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def window_partials(batch: pa.Table) -> pa.Table:
-        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
-                           format="%Y-%m-%d %H:00:00")
+        hour = _hour_key(batch.column("ts"))
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pandas(),
             "hour": hour.to_pandas(),
@@ -292,10 +299,7 @@ def events_zscore_hourly(sf_dir: str):
 
     def zscore(g: pd.DataFrame) -> pa.Table:
         n = g["n"].to_numpy(np.float64)
-        if len(n) < 2:
-            return _arrow(g.iloc[:0].assign(z=np.asarray([], np.float64))
-                          [["event_type", "hour", "n", "z"]])
-        std = np.std(n, ddof=1)
+        std = np.std(n, ddof=1) if len(n) >= 2 else 0.0
         if std == 0.0:
             return _arrow(g.iloc[:0].assign(z=np.asarray([], np.float64))
                           [["event_type", "hour", "n", "z"]])
@@ -345,12 +349,11 @@ def events_funnel(sf_dir: str, step_a: str = "signup",
         hit = b[(first_a.notna())
                 & (b["ts_us"] >= first_a)
                 & (b["ts_us"] <= first_a + window_s * 1_000_000)]
-        converted = set(hit["user_id"])
         users = a.index.to_numpy(dtype=np.int64)
         return pa.table({
             "user_id": pa.array(users, pa.int64()),
-            "converted": pa.array([int(u) in converted for u in users],
-                                  pa.bool_()),
+            "converted": pa.array(
+                np.isin(users, hit["user_id"].to_numpy()), pa.bool_()),
         })
 
     return (ds.map_batches(prune, batch_format="pyarrow")
@@ -373,8 +376,7 @@ def events_distinct_users_hourly(sf_dir: str, n_buckets: int = 32):
     ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
 
     def local_distinct(batch: pa.Table) -> pa.Table:
-        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
-                           format="%Y-%m-%d %H:00:00")
+        hour = _hour_key(batch.column("ts"))
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pandas(),
             "hour": hour.to_pandas(),
@@ -1036,8 +1038,7 @@ def events_topk_hourly(sf_dir: str, k: int = 3, n_buckets: int = 32):
     ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="hour"),
-                           format="%Y-%m-%d %H:00:00")
+        hour = _hour_key(batch.column("ts"))
         df = pd.DataFrame({
             "hour": hour.to_pandas(),
             "event_id": batch.column("event_id").to_pandas(),

@@ -132,5 +132,7 @@ def test_funnel_window_boundaries(ray_session, tmp_path):
 
     from address_semantic_search_ray.pipelines.queries import events_funnel
 
-    got = events_funnel(str(tmp_path)).to_pandas().set_index("user_id")
-    assert dict(got["converted"]) == {1: True, 2: False, 3: False, 4: False}
+    got = events_funnel(str(tmp_path)).to_pandas()
+    assert len(got) == 4  # exactly one row per signup user, no duplicates
+    assert dict(zip(got["user_id"], got["converted"])) \
+        == {1: True, 2: False, 3: False, 4: False}
