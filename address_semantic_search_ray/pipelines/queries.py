@@ -1544,15 +1544,64 @@ def similarity_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
     return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
-    """Oracle-conformance shape (all pairs within ``label`` blocks, O(n^2)
-    per block) — see COVERAGE.md scale-path routing: production near-dup
-    goes through ``embedding_near_dup_lsh``."""
-    from ..stages.vector import near_dup_pairs_group
+def _build_labeled_corpus(path: str):
+    """Ray task: (ids, labels, L2-normalized f64 matrix) of the embedding
+    table, built off-driver, broadcast via ObjectRef (plasma zero-copy)."""
+    import pyarrow.parquet as pq
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    return emb.groupby("label").map_groups(
-        lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
+    from ..stages.vector import normalize_rows
+
+    t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    mat = normalize_rows(
+        np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
+    return ids, labels, mat
+
+
+_build_labeled_corpus_task = ray.remote(_build_labeled_corpus)
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
+    """EXACT within-label cosine near-dup join, scale-safe (round-4 rewrite
+    of the all-pairs-per-label-group fixture this used to be): the corpus
+    side is ONE broadcast (ids, labels, normalized matrix) payload built
+    off-driver (plasma zero-copy per node; shards like the kg corpus index
+    past worker memory), the query side STREAMS — one f64 BLAS matmul per
+    batch, vectorized label-equality / ordering / threshold masks, no
+    shuffle. The ~5-value ``label`` column is exactly the hot-key shape a
+    ``groupby(label)`` would funnel into one task; here no label group ever
+    materializes anywhere. Each dot product is independent, so the pair set
+    and cos values are bit-identical to the all-pairs formulation."""
+    path = _t(sf_dir, "embeddings")
+    ref = _build_labeled_corpus_task.remote(path)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.vector import normalize_rows
+
+        ids, labels, mat = ray.get(ref)
+        if not len(df):
+            return pd.DataFrame({
+                "vec_id_a": np.asarray([], dtype=np.int64),
+                "vec_id_b": np.asarray([], dtype=np.int64),
+                "cos": np.asarray([], dtype=np.float64)})
+        q_ids = df["vec_id"].to_numpy(dtype=np.int64)
+        q_lab = df["label"].to_numpy(dtype=np.int64)
+        qm = normalize_rows(np.stack(df["embedding"].to_numpy())
+                            .astype(np.float64))
+        sims = qm @ mat.T
+        keep = ((sims >= threshold)
+                & (labels[None, :] == q_lab[:, None])
+                & (ids[None, :] > q_ids[:, None]))
+        bi, bj = np.nonzero(keep)
+        return pd.DataFrame({
+            "vec_id_a": q_ids[bi],
+            "vec_id_b": ids[bj],
+            "cos": np.round(sims[bi, bj], 6),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]) \
+        .map_batches(scan, batch_format="pandas")
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35, n_bits: int = 4):
