@@ -458,17 +458,90 @@ def dedup_exact(sf_dir: str):
     return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def _build_wordset_incidence(path: str):
+    """Ray task: doc x word-vocab float32 incidence + ids + langs + set
+    sizes + doc_id->row map over the documents table, broadcast via
+    ObjectRef (plasma zero-copy; the dense-plan small side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "lang", "text"])
+    ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    langs = np.asarray(t.column("lang").to_pylist())
+    word_sets = [set(x.split(" ")) for x in t.column("text").to_pylist()]
+    vocab = {w: i for i, w in enumerate(sorted(set().union(*word_sets)))} \
+        if word_sets else {}
+    m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
+    sizes = np.zeros(len(ids), dtype=np.int64)
+    for r, ws in enumerate(word_sets):
+        sizes[r] = len(ws)
+        m[r, [vocab[w] for w in ws]] = 1.0
+    return ids, langs, m, sizes, {int(i): r for r, i in enumerate(ids)}
+
+
+_build_wordset_incidence_task = ray.remote(_build_wordset_incidence)
+
+
 def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
-    """Oracle-conformance shape ONLY: all pairs within ``lang`` blocks (~5
-    values), O(n^2) per block — matches the SQL oracle exactly but is NOT the
-    100 TB design. Production near-dup routes through ``dedup_minhash_lsh`` /
-    ``dedup_simhash``, whose shuffle unit is a fixed-width signature row."""
+    """EXACT within-lang word-set Jaccard join (round-4 rewrite of the
+    all-pairs-per-lang-group fixture): the corpus side is one broadcast
+    doc x word-vocab incidence (the ``_ngram_jaccard_dense`` shape — f32
+    intersection counts are exact, bounded by the matrix fitting the object
+    store, which a bounded-vocab corpus guarantees), the query side STREAMS
+    — one BLAS matmul per batch with vectorized lang/order/threshold masks;
+    no ``lang`` group (~5 values = the classic hot key) ever materializes
+    in one task. A df-skewed unbounded vocabulary would instead route
+    through token-level prefix filtering — the exact PPJoin machinery
+    ``dedup_ngram_jaccard`` runs over char shingles; here the matrix-bytes
+    budget gates the dense plan and falls back to the per-lang grouped
+    formulation for oversized vocabularies."""
+    import pyarrow.parquet as pq
+
     from ..stages.dedup import wordset_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    return ds.groupby("lang").map_groups(
-        lambda g: wordset_jaccard_pairs(g, threshold), batch_format="pandas"
-    )
+    path = _t(sf_dir, "documents")
+    meta = pq.ParquetFile(path)
+    n_docs = meta.metadata.num_rows
+    # vocab upper bound without a full scan: total uncompressed text bytes /
+    # a conservative ~6 bytes per distinct word; the real matrix is built
+    # only when the bound fits the budget
+    text_bytes = sum(meta.metadata.row_group(i).total_byte_size
+                     for i in range(meta.metadata.num_row_groups))
+    if n_docs * max(1, text_bytes // 6) * 4 > 8_000_000_000:
+        ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        return ds.groupby("lang").map_groups(
+            lambda g: wordset_jaccard_pairs(g, threshold),
+            batch_format="pandas")
+
+    ref = _build_wordset_incidence_task.remote(path)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        ids, langs, m, sizes, row_of = ray.get(ref)
+        if not len(df) or not m.size:
+            return pd.DataFrame({
+                "doc_id_a": np.asarray([], dtype=np.int64),
+                "doc_id_b": np.asarray([], dtype=np.int64),
+                "jac": np.asarray([], dtype=np.float64)})
+        rows = np.fromiter((row_of[int(i)] for i in df["doc_id"]),
+                           dtype=np.int64, count=len(df))
+        # f32 counts are exact (<= |vocab| << 2^24); ONE cast to f64, and
+        # union >= 1 always (''.split(' ') == [''] -> set size 1), so no
+        # zero-guard pass is needed
+        inter = (m[rows] @ m.T).astype(np.float64)
+        union = (sizes[rows][:, None] + sizes[None, :]).astype(np.float64) \
+            - inter
+        jac = inter / union
+        keep = ((jac >= threshold)
+                & (langs[None, :] == langs[rows][:, None])
+                & (ids[None, :] > ids[rows][:, None]))
+        bi, bj = np.nonzero(keep)
+        return pd.DataFrame({
+            "doc_id_a": ids[rows[bi]],
+            "doc_id_b": ids[bj],
+            "jac": np.round(jac[bi, bj], 6),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(scan, batch_format="pandas")
 
 
 _NGRAM_PAIRS_MEMO: dict = {}
