@@ -313,3 +313,22 @@ def test_common_spans_short_first_block_schema(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     got = dedup_common_spans(str(tmp_path)).to_pandas()
     assert len(got) == 1 and int(got["n_docs"].iloc[0]) == 2
+
+
+def test_wordset_dense_matches_grouped(ray_session):
+    # the round-4 streamed-x-broadcast plan and the per-lang grouped
+    # fallback must emit identical pair sets (same hash gate)
+    from address_semantic_search_ray.pipelines.queries import (
+        _read, dedup_wordset_jaccard)
+    from address_semantic_search_ray.stages.dedup import wordset_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    dense = dedup_wordset_jaccard(sf).to_pandas()
+    grouped = (_read(sf, "documents", ["doc_id", "lang", "text"])
+               .groupby("lang")
+               .map_groups(lambda g: wordset_jaccard_pairs(g, 0.9),
+                           batch_format="pandas").to_pandas())
+    key = lambda df: set(zip(df["doc_id_a"].astype(int),
+                             df["doc_id_b"].astype(int),
+                             df["jac"].round(6)))
+    assert key(dense) == key(grouped) and len(dense) == len(grouped)
