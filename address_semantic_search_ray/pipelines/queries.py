@@ -734,11 +734,14 @@ def _ngram_jaccard_dense(sf_dir: str, docs, shingles: list, threshold: float):
             rows = np.fromiter(
                 (self.row_of[int(i)] for i in batch.column("doc_id").to_pylist()),
                 dtype=np.int64, count=batch.num_rows)
-            inter = (self.m[rows] @ self.m.T).astype(np.int64)
-            union = self.sizes[rows][:, None] + self.sizes[None, :] - inter
+            # f32 counts are exact (<= |G| << 2^24); ONE cast to f64 instead
+            # of int64-then-f64 (these elementwise passes are bandwidth-bound
+            # and measurable on this host)
+            inter = (self.m[rows] @ self.m.T).astype(np.float64)
+            union = (self.sizes[rows][:, None]
+                     + self.sizes[None, :]).astype(np.float64) - inter
             with np.errstate(divide="ignore", invalid="ignore"):
-                jac = np.where(union > 0,
-                               inter.astype(np.float64) / union, 0.0)
+                jac = np.where(union > 0, inter / union, 0.0)
             keep = (jac >= threshold) & (np.arange(len(self.ids))[None, :]
                                          > rows[:, None])
             bi, bj = np.nonzero(keep)
