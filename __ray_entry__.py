@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_join": q.customer_nation_join,
         # stream-shaped windows + temporal joins
         "asof_join_events_orders": q.asof_join_events_orders,
+        "range_join_events_orders": q.range_join_events_orders,
         "topk_per_group": q.topk_per_group,
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
@@ -199,6 +200,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start_s::BIGINT AS window_start_s,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM w GROUP BY 1, 2
+        """,
+        "range_join_events_orders": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey = e.user_id
+                      AND o.o_orderdate <= e.ts
+                      AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+                   )::BIGINT AS n_orders
+            FROM events e
         """,
         "asof_join_events_orders": """
             WITH j AS (

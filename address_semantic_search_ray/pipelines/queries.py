@@ -1919,6 +1919,104 @@ def region_dic_export(sf_dir: str):
     return distinct.map_batches(add_len, batch_format="pandas")
 
 
+def range_join_events_orders(sf_dir: str, window_days: int = 30,
+                             n_buckets: int = 64):
+    """Bounded-interval (range) join — the second temporal-join operator Ray
+    Data lacks natively, next to ``asof_join_events_orders``: for each
+    event, the COUNT of the same user's orders placed within the trailing
+    window [ts - window, ts] (trailing activity features for a user at
+    event time).
+
+    Shape: co-bucket both sides by ``user_id`` into one unified-schema
+    union (a key never spans buckets), then ONE vectorized in-bucket pass —
+    per-user sorted order times + two ``searchsorted`` probes per event
+    give the interval count without materializing the event x order pair
+    expansion. Partitioning assumption: per-user activity fits a bucket
+    task; hot users would salt the bucket key and sum the partial counts."""
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_side": "e", "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_side": "o", "event_id": np.int64(-1),
+            "user_id": df["o_custkey"].astype("int64"),
+            "ts_us": df["o_orderdate"].astype("datetime64[us]")
+                     .astype("int64"),
+        })
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    both = (events.map_batches(tag_events, batch_format="pandas")
+            .union(orders.map_batches(tag_orders, batch_format="pandas"))
+            .map_batches(add_bucket, batch_format="pandas"))
+    win_us = window_days * 86_400 * 1_000_000
+
+    def range_group(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["_side"] == "e"]
+        if not len(left):
+            return pd.DataFrame({
+                "event_id": np.asarray([], dtype=np.int64),
+                "user_id": np.asarray([], dtype=np.int64),
+                "n_orders": np.asarray([], dtype=np.int64)})
+        right = group[group["_side"] == "o"] \
+            .sort_values(["user_id", "ts_us"], kind="stable")
+        r_user = right["user_id"].to_numpy()
+        r_ts = right["ts_us"].to_numpy()
+        l_user = left["user_id"].to_numpy()
+        l_ts = left["ts_us"].to_numpy()
+        # two lexicographic probes per event over the (user, ts)-sorted
+        # order array: count = #orders in (user == u) AND (ts-win <= t <= ts)
+        hi_idx = _lex_searchsorted(r_user, r_ts, l_user, l_ts, side="right")
+        lo_idx = _lex_searchsorted(r_user, r_ts, l_user, l_ts - win_us,
+                                   side="left")
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy(dtype=np.int64),
+            "user_id": l_user,
+            "n_orders": (hi_idx - lo_idx).astype(np.int64),
+        })
+
+    return both.groupby("_b").map_groups(range_group, batch_format="pandas")
+
+
+def _lex_searchsorted(r_key: np.ndarray, r_val: np.ndarray,
+                      q_key: np.ndarray, q_val: np.ndarray,
+                      side: str) -> np.ndarray:
+    """searchsorted over an array sorted lexicographically by (key, val):
+    the insertion position of each (q_key, q_val) probe. Each key's rows
+    form a contiguous run located by two searchsorted calls on the key
+    column; the val probe then binary-searches inside the run. Probes are
+    grouped by distinct key, so the python loop runs once per distinct
+    probe key (bounded by users-per-bucket), with each group's val probes
+    in ONE vectorized searchsorted — never once per probe row."""
+    run_start = np.searchsorted(r_key, q_key, side="left")
+    run_end = np.searchsorted(r_key, q_key, side="right")
+    order = np.argsort(q_key, kind="stable")
+    qk = q_key[order]
+    qv = q_val[order]
+    rs = run_start[order]
+    re_ = run_end[order]
+    # boundaries of equal-key groups among the sorted probes
+    cuts = np.flatnonzero(np.diff(qk) != 0) + 1
+    starts = np.concatenate(([0], cuts))
+    ends = np.concatenate((cuts, [len(qk)]))
+    out_o = np.empty(len(qk), dtype=np.int64)
+    for i, j in zip(starts, ends):
+        s, e = rs[i], re_[i]
+        out_o[i:j] = s + np.searchsorted(r_val[s:e], qv[i:j], side=side)
+    out = np.empty(len(q_key), dtype=np.int64)
+    out[order] = out_o
+    return out
+
+
 def asof_join_events_orders(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): for each event, the
     latest order of the same customer placed at-or-before the event time.

@@ -25,7 +25,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # operators timed alongside the headline pipeline (each returns a Dataset)
 BENCH_QUERIES = (
     "pricing_summary", "topk_orders", "topk_per_group", "customer_nation_join",
-    "asof_join_events_orders", "events_hourly", "events_hopping",
+    "asof_join_events_orders", "range_join_events_orders",
+    "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_clusters", "dedup_filter", "dedup_common_spans",

@@ -136,3 +136,47 @@ def test_funnel_window_boundaries(ray_session, tmp_path):
     assert len(got) == 4  # exactly one row per signup user, no duplicates
     assert dict(zip(got["user_id"], got["converted"])) \
         == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_range_join_window_boundaries(ray_session, tmp_path):
+    # orders exactly AT ts and exactly at ts-30d are both inclusive;
+    # one microsecond outside either edge is excluded
+    import numpy as np
+    import pyarrow as pa
+
+    ev_ts = pd.Timestamp("2024-06-01 12:00:00")
+    win = pd.Timedelta(days=30)
+    us = pd.Timedelta(microseconds=1)
+    orders = [
+        (1, ev_ts),                 # at upper edge -> in
+        (1, ev_ts - win),           # at lower edge -> in
+        (1, ev_ts + us),            # just after -> out
+        (1, ev_ts - win - us),      # just before -> out
+        (2, ev_ts),                 # other user -> out for user 1
+    ]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(orders)), pa.int64()),
+        "o_custkey": pa.array([o[0] for o in orders], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(orders)),
+        "o_totalprice": pa.array([1.0] * len(orders), pa.float64()),
+        "o_orderdate": pa.array(pd.Series([o[1] for o in orders])
+                                .astype("datetime64[us]")),
+        "o_orderpriority": pa.array([""] * len(orders)),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([100, 200], pa.int64()),
+        "ts": pa.array(pd.Series([ev_ts, ev_ts]).astype("datetime64[us]")),
+        "user_id": pa.array([1, 3], pa.int64()),   # user 3: no orders
+        "event_type": pa.array(["click"] * 2),
+        "value": pa.array([0.0] * 2, pa.float64()),
+        "props": pa.array([""] * 2),
+    }), str(tmp_path / "events.parquet"))
+
+    from address_semantic_search_ray.pipelines.queries import (
+        range_join_events_orders)
+
+    got = range_join_events_orders(str(tmp_path)).to_pandas() \
+        .set_index("event_id")
+    assert int(got.loc[100, "n_orders"]) == 2
+    assert int(got.loc[200, "n_orders"]) == 0
+    assert len(got) == 2
