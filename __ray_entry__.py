@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q.events_retention,
         "events_zscore_hourly": q.events_zscore_hourly,
         "events_funnel": q.events_funnel,
+        "events_approx_users_hll": q.events_approx_users_hll,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -584,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(octet_length(encode(text)) - 64, 0) // 128
                     + 1)::BIGINT AS n_frames
             FROM documents
+        """,
+        "events_approx_users_hll": f"""
+            SELECT event_type, n_users_est
+            FROM read_parquet('{SF001_ORACLE}/hll_users.parquet')
         """,
         "kg_triples": f"""
             SELECT subj, pred, obj, conv_id, turn_idx, district_key, score

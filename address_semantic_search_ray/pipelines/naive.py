@@ -547,3 +547,29 @@ def write_links_explain(data_dir: str, out_dir: str, top_n: int = 2,
         "coord": pa.array(cols["coord"], pa.float64()),
     }), os.path.join(out_dir, "kg_links_explain.parquet"))
     _mark(out_dir, "kg_links_explain", fp)
+
+
+def write_hll_estimates(events_path: str, out_dir: str) -> None:
+    """(event_type, n_users_est): sequential single-process HLL over each
+    type's user ids — same kernel (stages/sketch.py) as the distributed
+    operator, so the estimates are bit-identical, not tolerance-matched."""
+    from ..stages.sketch import estimate, fold_registers, register_updates
+
+    fp = _fingerprint(events_path)
+    if _cached(out_dir, "hll_users", fp):
+        return
+    t = pq.read_table(events_path, columns=["event_type", "user_id"])
+    by_type: dict = {}
+    for et, uid in zip(t.column("event_type").to_pylist(),
+                       t.column("user_id").to_pylist()):
+        by_type.setdefault(et, []).append(uid)
+    types = sorted(by_type)
+    ests = []
+    for et in types:
+        regs, rhos = register_updates(np.asarray(by_type[et], dtype=np.int64))
+        ests.append(round(estimate(fold_registers(regs, rhos)), 4))
+    pq.write_table(
+        pa.table({"event_type": pa.array(types),
+                  "n_users_est": pa.array(ests, pa.float64())}),
+        os.path.join(out_dir, "hll_users.parquet"))
+    _mark(out_dir, "hll_users", fp)

@@ -312,6 +312,55 @@ def events_zscore_hourly(sf_dir: str):
                                                    batch_format="pandas")
 
 
+def events_approx_users_hll(sf_dir: str):
+    """Approximate distinct users per event type via a HyperLogLog sketch
+    (stages/sketch.py) — the mergeable-summary alternative to the exact
+    ``events_distinct_users_hourly`` shape: at 100 TB the shuffle carries at
+    most types x 256 register rows per block (a fixed-size summary,
+    independent of user cardinality), and register merge is an elementwise
+    max, associative under ANY partitioning. The oracle is the naive
+    single-process twin running the SAME kernel, so the gate checks
+    bit-identical estimates, not a tolerance band."""
+    from ..stages.sketch import M, estimate, fold_registers, register_updates
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_hll_estimates(_t(sf_dir, "events"), out_dir)
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        types, regs_out, rhos_out = [], [], []
+        for et, g in df.groupby("event_type", sort=False):
+            regs, rhos = register_updates(g["user_id"].to_numpy())
+            folded = fold_registers(regs, rhos)
+            nz = np.flatnonzero(folded)
+            types.extend([et] * len(nz))
+            regs_out.append(nz.astype(np.int64))
+            rhos_out.append(folded[nz])
+        return _arrow(pd.DataFrame({
+            "event_type": types,
+            "reg": np.concatenate(regs_out) if regs_out
+            else np.asarray([], dtype=np.int64),
+            "rho": np.concatenate(rhos_out) if rhos_out
+            else np.asarray([], dtype=np.int64),
+        }))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(M, dtype=np.int64)
+        np.maximum.at(regs, g["reg"].to_numpy(), g["rho"].to_numpy())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users_est": np.asarray([round(estimate(regs), 4)],
+                                      dtype=np.float64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(finalize,
+                                              batch_format="pandas"))
+
+
 def events_funnel(sf_dir: str, step_a: str = "signup",
                   step_b: str = "purchase", window_s: int = 7 * 86400,
                   n_buckets: int = 32):
