@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_hourly": q.events_zscore_hourly,
         "events_funnel": q.events_funnel,
         "events_approx_users_hll": q.events_approx_users_hll,
+        "events_heavy_users_cms": q.events_heavy_users_cms,
         # dedup family
         "dedup_exact": q.dedup_exact,
         "dedup_wordset_jaccard": q.dedup_wordset_jaccard,
@@ -585,6 +586,10 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(octet_length(encode(text)) - 64, 0) // 128
                     + 1)::BIGINT AS n_frames
             FROM documents
+        """,
+        "events_heavy_users_cms": f"""
+            SELECT user_id, n_est
+            FROM read_parquet('{SF001_ORACLE}/cms_heavy_users.parquet')
         """,
         "events_approx_users_hll": f"""
             SELECT event_type, n_users_est

@@ -573,3 +573,26 @@ def write_hll_estimates(events_path: str, out_dir: str) -> None:
                   "n_users_est": pa.array(ests, pa.float64())}),
         os.path.join(out_dir, "hll_users.parquet"))
     _mark(out_dir, "hll_users", fp)
+
+
+def write_cms_heavy_users(events_path: str, out_dir: str,
+                          min_count: int = 50) -> None:
+    """(user_id, n_est): single-process Count-Min fold + probe with the same
+    kernel (stages/sketch.py) as the distributed operator — integer sums are
+    associative, so the tables and estimates are bit-identical."""
+    from ..stages.sketch import cms_fold, cms_probe
+
+    fp = _fingerprint(events_path)
+    if _cached(out_dir, "cms_heavy_users", fp):
+        return
+    t = pq.read_table(events_path, columns=["user_id"])
+    ids = np.asarray(t.column("user_id").to_pylist(), dtype=np.int64)
+    table = cms_fold(ids)
+    distinct = np.unique(ids)
+    est = cms_probe(table, distinct)
+    keep = est >= min_count
+    pq.write_table(
+        pa.table({"user_id": pa.array(distinct[keep], pa.int64()),
+                  "n_est": pa.array(est[keep], pa.int64())}),
+        os.path.join(out_dir, "cms_heavy_users.parquet"))
+    _mark(out_dir, "cms_heavy_users", fp)

@@ -361,6 +361,60 @@ def events_approx_users_hll(sf_dir: str):
                                               batch_format="pandas"))
 
 
+def events_heavy_users_cms(sf_dir: str, min_count: int = 50,
+                           n_buckets: int = 32):
+    """Heavy-hitter detection via a Count-Min sketch (the frequency twin of
+    the HLL cardinality sketch): users whose event count reaches
+    ``min_count``, with the CMS point estimate (never an undercount). The
+    100 TB rationale: the count table is a FIXED (4 x 1024) int64 summary —
+    per-batch partials shuffle at most 4096 rows per block and integer sums
+    merge associatively under any partitioning, so the sketch costs the
+    same whether the stream has 10^4 or 10^12 events; only the (bounded)
+    distinct-user probe pass scales with user cardinality. Oracle = the
+    naive twin running the same kernel: bit-identical tables and
+    estimates."""
+    from ..stages.sketch import CMS_W, cms_fold, cms_probe
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_cms_heavy_users(_t(sf_dir, "events"), out_dir,
+                                    min_count=min_count)
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial_table(df: pd.DataFrame) -> pa.Table:
+        table = cms_fold(df["user_id"].to_numpy(dtype=np.int64))
+        idx = np.flatnonzero(table.ravel())
+        return pa.table({"idx": pa.array(idx, pa.int64()),
+                         "n": pa.array(table.ravel()[idx], pa.int64())})
+
+    merged_rows = (ds.map_batches(partial_table, batch_format="pandas")
+                   .groupby("idx").aggregate(Sum("n", alias_name="n"))
+                   ).to_pandas()
+    from ..stages.sketch import CMS_D
+
+    table = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    table[merged_rows["idx"].to_numpy(dtype=np.int64)] = \
+        merged_rows["n"].to_numpy(dtype=np.int64)
+    table_ref = ray.put(table.reshape(CMS_D, CMS_W))
+
+    def distinct_bucket(df: pd.DataFrame) -> pa.Table:
+        u = df[["user_id"]].drop_duplicates()
+        u["_ub"] = (u["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(u)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy(dtype=np.int64))
+        est = cms_probe(ray.get(table_ref), users)
+        keep = est >= min_count
+        return pd.DataFrame({"user_id": users[keep],
+                             "n_est": est[keep].astype(np.int64)})
+
+    return (ds.map_batches(distinct_bucket, batch_format="pandas")
+            .groupby("_ub").map_groups(probe, batch_format="pandas"))
+
+
 def events_funnel(sf_dir: str, step_a: str = "signup",
                   step_b: str = "purchase", window_s: int = 7 * 86400,
                   n_buckets: int = 32):

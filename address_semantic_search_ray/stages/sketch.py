@@ -61,3 +61,43 @@ def estimate(registers: np.ndarray) -> float:
     if e <= 2.5 * M and zeros:
         e = M * math.log(M / zeros)
     return e
+
+
+# -- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
+
+CMS_W = 1024                 # cells per row
+CMS_D = 4                    # hash rows
+
+
+def cms_cells(ids) -> np.ndarray:
+    """(len(ids), CMS_D) cell indices — row j uses the j-th 16-bit slice of
+    the md5-derived 64-bit hash (independent-enough rows, one digest per
+    id). Deterministic across processes."""
+    out = np.empty((len(ids), CMS_D), dtype=np.int64)
+    for i, v in enumerate(ids):
+        h = hash64(v)
+        for j in range(CMS_D):
+            out[i, j] = (h >> (16 * j)) & (CMS_W - 1)
+    return out
+
+
+def cms_fold(ids) -> np.ndarray:
+    """Dense (CMS_D, CMS_W) int64 count table for one batch of ids.
+    Integer addition is associative, so partial tables merged in ANY order
+    equal the single-pass fold — the distributed operator and the naive
+    twin are bit-identical by construction."""
+    table = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    cells = cms_cells(ids)
+    for j in range(CMS_D):
+        np.add.at(table[j], cells[:, j], 1)
+    return table
+
+
+def cms_probe(table: np.ndarray, ids) -> np.ndarray:
+    """Point estimate per id: min over rows (the classic CMS upper bound —
+    exact when no collisions, never an undercount)."""
+    cells = cms_cells(ids)
+    ests = np.empty((len(ids), CMS_D), dtype=np.int64)
+    for j in range(CMS_D):
+        ests[:, j] = table[j][cells[:, j]]
+    return ests.min(axis=1)

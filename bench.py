@@ -32,7 +32,7 @@ BENCH_QUERIES = (
     "dedup_clusters", "dedup_filter", "dedup_common_spans",
     "events_topk_hourly",
     "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
-    "events_approx_users_hll",
+    "events_approx_users_hll", "events_heavy_users_cms",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample",
     "text_token_count", "text_quality",
