@@ -553,9 +553,10 @@ def write_hll_estimates(events_path: str, out_dir: str) -> None:
     """(event_type, n_users_est): sequential single-process HLL over each
     type's user ids — same kernel (stages/sketch.py) as the distributed
     operator, so the estimates are bit-identical, not tolerance-matched."""
+    from ..stages import sketch
     from ..stages.sketch import estimate, fold_registers, register_updates
 
-    fp = _fingerprint(events_path)
+    fp = _fingerprint(events_path, sketch.__file__)
     if _cached(out_dir, "hll_users", fp):
         return
     t = pq.read_table(events_path, columns=["event_type", "user_id"])
@@ -580,9 +581,10 @@ def write_cms_heavy_users(events_path: str, out_dir: str,
     """(user_id, n_est): single-process Count-Min fold + probe with the same
     kernel (stages/sketch.py) as the distributed operator — integer sums are
     associative, so the tables and estimates are bit-identical."""
+    from ..stages import sketch
     from ..stages.sketch import cms_fold, cms_probe
 
-    fp = _fingerprint(events_path)
+    fp = _fingerprint(events_path, sketch.__file__)
     if _cached(out_dir, "cms_heavy_users", fp):
         return
     t = pq.read_table(events_path, columns=["user_id"])
