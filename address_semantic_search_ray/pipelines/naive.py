@@ -584,7 +584,10 @@ def write_cms_heavy_users(events_path: str, out_dir: str,
     from ..stages import sketch
     from ..stages.sketch import cms_fold, cms_probe
 
-    fp = _fingerprint(events_path, sketch.__file__)
+    # min_count shapes the written table: it is part of the cache key (the
+    # write_links_explain f':{top_n}' pattern) or a differently-thresholded
+    # run would silently reuse a stale oracle
+    fp = _fingerprint(events_path, sketch.__file__) + f":{min_count}"
     if _cached(out_dir, "cms_heavy_users", fp):
         return
     t = pq.read_table(events_path, columns=["user_id"])

@@ -602,14 +602,33 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
     from ..stages.dedup import wordset_jaccard_pairs
 
     path = _t(sf_dir, "documents")
-    meta = pq.ParquetFile(path)
-    n_docs = meta.metadata.num_rows
-    # vocab upper bound without a full scan: total uncompressed text bytes /
-    # a conservative ~6 bytes per distinct word; the real matrix is built
-    # only when the bound fits the budget
-    text_bytes = sum(meta.metadata.row_group(i).total_byte_size
-                     for i in range(meta.metadata.num_row_groups))
-    if n_docs * max(1, text_bytes // 6) * 4 > 8_000_000_000:
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    # EXACT vocabulary count via one tiny distributed pass (per-batch
+    # distinct words -> crc-bucketed global distinct -> disjoint partial
+    # counts). A bytes-based heuristic grows with CORPUS size, not
+    # vocabulary, and would route bounded-vocab corpora to the quadratic
+    # fallback at exactly the scale the dense plan exists for.
+    def batch_words(df: pd.DataFrame) -> pa.Table:
+        words = sorted(set().union(
+            *(set(x.split(" ")) for x in df["text"]))) if len(df) else []
+        if not words:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "_wb": pa.array([], pa.int64())})
+        out = pd.DataFrame({"w": words})
+        out["_wb"] = _crc_bucket(out["w"], 32)
+        return _arrow(out)
+
+    def bucket_count(g: pd.DataFrame) -> pa.Table:
+        return _arrow(pd.DataFrame(
+            {"n": np.asarray([g["w"].nunique()], dtype=np.int64)}))
+
+    vocab = int(sum(
+        b["n"].sum() for b in
+        (_read(sf_dir, "documents", ["text"])
+         .map_batches(batch_words, batch_format="pandas")
+         .groupby("_wb").map_groups(bucket_count, batch_format="pandas")
+         .iter_batches(batch_size=None, batch_format="pandas"))))
+    if n_docs * max(1, vocab) * 4 > 8_000_000_000:
         ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
         return ds.groupby("lang").map_groups(
             lambda g: wordset_jaccard_pairs(g, threshold),
@@ -617,34 +636,44 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
 
     ref = _build_wordset_incidence_task.remote(path)
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        ids, langs, m, sizes, row_of = ray.get(ref)
-        if not len(df) or not m.size:
-            return pd.DataFrame({
-                "doc_id_a": np.asarray([], dtype=np.int64),
-                "doc_id_b": np.asarray([], dtype=np.int64),
-                "jac": np.asarray([], dtype=np.float64)})
-        rows = np.fromiter((row_of[int(i)] for i in df["doc_id"]),
-                           dtype=np.int64, count=len(df))
-        # f32 counts are exact (<= |vocab| << 2^24); ONE cast to f64, and
-        # union >= 1 always (''.split(' ') == [''] -> set size 1), so no
-        # zero-guard pass is needed
-        inter = (m[rows] @ m.T).astype(np.float64)
-        union = (sizes[rows][:, None] + sizes[None, :]).astype(np.float64) \
-            - inter
-        jac = inter / union
-        keep = ((jac >= threshold)
-                & (langs[None, :] == langs[rows][:, None])
-                & (ids[None, :] > ids[rows][:, None]))
-        bi, bj = np.nonzero(keep)
-        return pd.DataFrame({
-            "doc_id_a": ids[rows[bi]],
-            "doc_id_b": ids[bj],
-            "jac": np.round(jac[bi, bj], 6),
-        })
+    class WordsetScan:
+        # callable class (the _ngram_jaccard_dense shape): ray.get + the
+        # O(n_docs) row_of dict deserialize happen ONCE per actor in
+        # __init__, not once per 1024-row batch
+        def __init__(self):
+            (self.ids, self.langs, self.m, self.sizes,
+             self.row_of) = ray.get(ref)
 
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, langs, m, sizes = self.ids, self.langs, self.m, self.sizes
+            if not len(df) or not m.size:
+                return pd.DataFrame({
+                    "doc_id_a": np.asarray([], dtype=np.int64),
+                    "doc_id_b": np.asarray([], dtype=np.int64),
+                    "jac": np.asarray([], dtype=np.float64)})
+            rows = np.fromiter((self.row_of[int(i)] for i in df["doc_id"]),
+                               dtype=np.int64, count=len(df))
+            # f32 counts are exact (<= |vocab| << 2^24); ONE cast to f64,
+            # and union >= 1 always (''.split(' ') == [''] -> set size 1),
+            # so no zero-guard pass is needed
+            inter = (m[rows] @ m.T).astype(np.float64)
+            union = (sizes[rows][:, None]
+                     + sizes[None, :]).astype(np.float64) - inter
+            jac = inter / union
+            keep = ((jac >= threshold)
+                    & (langs[None, :] == langs[rows][:, None])
+                    & (ids[None, :] > ids[rows][:, None]))
+            bi, bj = np.nonzero(keep)
+            return pd.DataFrame({
+                "doc_id_a": ids[rows[bi]],
+                "doc_id_b": ids[bj],
+                "jac": np.round(jac[bi, bj], 6),
+            })
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     return _read(sf_dir, "documents", ["doc_id"]) \
-        .map_batches(scan, batch_format="pandas")
+        .map_batches(WordsetScan, batch_format="pandas",
+                     concurrency=max(2, min(8, n_cpus - 2)))
 
 
 _NGRAM_PAIRS_MEMO: dict = {}
@@ -1540,6 +1569,8 @@ def _build_knn_corpus(path: str):
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    if not len(ids):  # np.stack refuses zero arrays
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = normalize_rows(
         np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
     return ids, mat
@@ -1733,6 +1764,8 @@ def _build_labeled_corpus(path: str):
     t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    if not len(ids):  # np.stack refuses zero arrays
+        return ids, labels, np.zeros((0, 0), dtype=np.float64)
     mat = normalize_rows(
         np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
     return ids, labels, mat
@@ -2039,28 +2072,30 @@ def range_join_events_orders(sf_dir: str, window_days: int = 30,
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
 
-    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    # tag+bucket emit ARROW blocks: this union feeds the groupby sort-
+    # shuffle, which takes a ~12x-slower per-row python path on pandas
+    # blocks (see _arrow)
+    def tag_events(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
             "_side": "e", "event_id": df["event_id"].astype("int64"),
             "user_id": df["user_id"].astype("int64"),
             "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
         })
+        out["_b"] = (out["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(out)
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+    def tag_orders(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
             "_side": "o", "event_id": np.int64(-1),
             "user_id": df["o_custkey"].astype("int64"),
             "ts_us": df["o_orderdate"].astype("datetime64[us]")
                      .astype("int64"),
         })
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return df
+        out["_b"] = (out["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(out)
 
     both = (events.map_batches(tag_events, batch_format="pandas")
-            .union(orders.map_batches(tag_orders, batch_format="pandas"))
-            .map_batches(add_bucket, batch_format="pandas"))
+            .union(orders.map_batches(tag_orders, batch_format="pandas")))
     win_us = window_days * 86_400 * 1_000_000
 
     def range_group(group: pd.DataFrame) -> pd.DataFrame:

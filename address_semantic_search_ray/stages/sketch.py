@@ -35,11 +35,6 @@ def hash64_array(ids) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
-def hash64(value: int) -> int:
-    """Scalar convenience wrapper over the vectorized mix."""
-    return int(hash64_array(np.asarray([value], dtype=np.int64))[0])
-
-
 def _bit_length(v: np.ndarray) -> np.ndarray:
     """Exact vectorized bit_length of a uint64 array (float log2 is lossy
     above 2^53, so shift-and-accumulate instead)."""
