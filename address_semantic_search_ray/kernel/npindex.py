@@ -102,10 +102,16 @@ class ShardedNpIndex:
         return idx.score_district(district_key, *args, **kw) if idx else None
 
     def doc_id_at(self, district_key: str, local: int) -> int:
-        return self._sub(district_key).doc_id_at(district_key, local)
+        sub = self._sub(district_key)
+        if sub is None:  # mirror score_district's guard (ADVICE r4): a miss
+            raise KeyError(f"district {district_key!r} not in any shard")
+        return sub.doc_id_at(district_key, local)
 
     def explain_matched(self, district_key: str, *args, **kw) -> list[dict]:
-        return self._sub(district_key).explain_matched(district_key, *args, **kw)
+        sub = self._sub(district_key)
+        if sub is None:
+            raise KeyError(f"district {district_key!r} not in any shard")
+        return sub.explain_matched(district_key, *args, **kw)
 
 
 def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

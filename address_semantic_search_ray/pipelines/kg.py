@@ -223,7 +223,7 @@ def estimate_index_bytes(addresses_path: str) -> int:
     return int(text_bytes * 4.5) + rows * 64
 
 
-def _index_cache_path(addresses_path: str) -> str | None:
+def _index_cache_path(addresses_path: str, region_digest: str) -> str | None:
     """Disk-cache location for a built corpus-index payload, keyed by the
     address file stats + the kernel code version (same recipe as the trie
     cache in ``stages/interpret.py``). The reference persists its
@@ -259,6 +259,10 @@ def _index_cache_path(addresses_path: str) -> str | None:
     for mod in (_kt, _kr, _kv, _ki, _ks, _kd, _ksim, _kn, _sidf):
         ms = os.stat(mod.__file__)  # code-version salt
         parts.append(f"{ms.st_size}:{ms.st_mtime_ns}")
+    # the index payload depends on the REGION DICT too (interpretation runs
+    # through the region trie): a different dict over the same addresses
+    # must never hit a stale cache entry (ADVICE r4)
+    parts.append(region_digest)
     key = hashlib.blake2b("|".join(parts).encode(), digest_size=10).hexdigest()
     uid = os.getuid() if hasattr(os, "getuid") else 0
     cache_dir = os.environ.get(
@@ -292,8 +296,15 @@ def _build_small_corpus_index_impl(addresses_path: str, region_ref):
     from ..kernel.npindex import NpCorpusIndex
     from ..stages.idf import driver_idf
 
+    import hashlib as _hl
+
+    # region_ref arrives as the pickled region-state BYTES here (Ray deref'd
+    # the ObjectRef; mp_twin passes the bytes directly) — its digest is the
+    # region-dict identity for the cache key
+    region_digest = _hl.blake2b(region_ref, digest_size=10).hexdigest() \
+        if isinstance(region_ref, (bytes, bytearray)) else repr(region_ref)
     cache_path = None if os.environ.get("ASR_INDEX_CACHE") == "off" \
-        else _index_cache_path(addresses_path)
+        else _index_cache_path(addresses_path, region_digest)
     if cache_path is not None:
         try:
             if _owned_by_me(os.path.dirname(cache_path)) \

@@ -370,10 +370,14 @@ def events_heavy_users_cms(sf_dir: str, min_count: int = 50,
     per-batch partials shuffle at most 4096 rows per block and integer sums
     merge associatively under any partitioning, so the sketch costs the
     same whether the stream has 10^4 or 10^12 events; only the (bounded)
-    distinct-user probe pass scales with user cardinality. Oracle = the
-    naive twin running the same kernel: bit-identical tables and
-    estimates."""
-    from ..stages.sketch import CMS_W, cms_fold, cms_probe
+    distinct-user probe pass scales with user cardinality. ONE pass over
+    events (round-4 verdict #4): each batch emits a tagged union of its
+    sketch partial (kind=0, <=4096 rows) AND its locally-distinct users
+    (kind=1) — the bounded intermediate is materialized once and both the
+    sketch merge and the bucketed probe consume it, so the raw event table
+    is read exactly once. Oracle = the naive twin running the same kernel:
+    bit-identical tables and estimates."""
+    from ..stages.sketch import CMS_D, CMS_W, cms_fold, cms_probe
 
     out_dir = _naive_oracle_dir(sf_dir)
     if out_dir is not None:
@@ -383,35 +387,42 @@ def events_heavy_users_cms(sf_dir: str, min_count: int = 50,
                                     min_count=min_count)
     ds = _read(sf_dir, "events", ["user_id"])
 
-    def partial_table(df: pd.DataFrame) -> pa.Table:
+    def tagged_partials(df: pd.DataFrame) -> pa.Table:
+        users = np.unique(df["user_id"].to_numpy(dtype=np.int64))
         table = cms_fold(df["user_id"].to_numpy(dtype=np.int64))
         idx = np.flatnonzero(table.ravel())
-        return pa.table({"idx": pa.array(idx, pa.int64()),
-                         "n": pa.array(table.ravel()[idx], pa.int64())})
+        key = np.concatenate([idx, users])
+        n = np.concatenate([table.ravel()[idx],
+                            np.zeros(len(users), dtype=np.int64)])
+        kind = np.concatenate([np.zeros(len(idx), dtype=np.int64),
+                               np.ones(len(users), dtype=np.int64)])
+        return pa.table({"kind": pa.array(kind, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "_ub": pa.array(np.where(kind == 1,
+                                                  key % n_buckets, -1),
+                                         pa.int64())})
 
-    merged_rows = (ds.map_batches(partial_table, batch_format="pandas")
-                   .groupby("idx").aggregate(Sum("n", alias_name="n"))
+    tagged = ds.map_batches(tagged_partials,
+                            batch_format="pandas").materialize()
+
+    merged_rows = (tagged
+                   .filter(expr="kind == 0")
+                   .groupby("key").aggregate(Sum("n", alias_name="n"))
                    ).to_pandas()
-    from ..stages.sketch import CMS_D
-
     table = np.zeros(CMS_D * CMS_W, dtype=np.int64)
-    table[merged_rows["idx"].to_numpy(dtype=np.int64)] = \
+    table[merged_rows["key"].to_numpy(dtype=np.int64)] = \
         merged_rows["n"].to_numpy(dtype=np.int64)
     table_ref = ray.put(table.reshape(CMS_D, CMS_W))
 
-    def distinct_bucket(df: pd.DataFrame) -> pa.Table:
-        u = df[["user_id"]].drop_duplicates()
-        u["_ub"] = (u["user_id"].to_numpy() % n_buckets).astype(np.int64)
-        return _arrow(u)
-
     def probe(g: pd.DataFrame) -> pd.DataFrame:
-        users = np.unique(g["user_id"].to_numpy(dtype=np.int64))
+        users = np.unique(g["key"].to_numpy(dtype=np.int64))
         est = cms_probe(ray.get(table_ref), users)
         keep = est >= min_count
         return pd.DataFrame({"user_id": users[keep],
                              "n_est": est[keep].astype(np.int64)})
 
-    return (ds.map_batches(distinct_bucket, batch_format="pandas")
+    return (tagged.filter(expr="kind == 1")
             .groupby("_ub").map_groups(probe, batch_format="pandas"))
 
 
@@ -1431,6 +1442,11 @@ def docs_top_terms(sf_dir: str, k: int = 10, n_buckets: int = 64):
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial_counts(df: pd.DataFrame) -> pa.Table:
+        if not len(df):  # np.concatenate needs >= 1 array (ADVICE r4)
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_tb": pa.array([], pa.int64())})
         toks = df["text"].str.split(" ")
         flat = pd.DataFrame({
             "lang": df["lang"].repeat(toks.str.len()),
@@ -2212,6 +2228,18 @@ def asof_join_events_orders(sf_dir: str):
     return both.groupby("_b").map_groups(asof_group, batch_format="pandas")
 
 
+def _build_segment_map(path: str) -> dict:
+    """Ray task: c_custkey -> c_mktsegment lookup dict (small dim side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["c_custkey", "c_mktsegment"])
+    return dict(zip(t.column("c_custkey").to_pylist(),
+                    t.column("c_mktsegment").to_pylist()))
+
+
+_build_segment_map_task = ray.remote(_build_segment_map)
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (deterministic tie-break on o_orderkey).
@@ -2222,8 +2250,9 @@ def topk_per_group(sf_dir: str, k: int = 3):
     the same total order), bounding the final per-segment merge at k rows
     per input block."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # dim-table broadcast built OFF-driver in a Ray task (round-4 verdict
+    # #5): the driver never loads the customer table, only holds the ref
+    seg_ref = _build_segment_map_task.remote(_t(sf_dir, "customer"))
 
     def head_k(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["o_totalprice", "o_orderkey"],

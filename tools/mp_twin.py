@@ -91,8 +91,14 @@ def main() -> None:
         wall = time.time() - t0
         rows = sum(r[0] for r in res)
         stage_walls = [r[1] for r in res if r[0]]
+        n_failed = sum(1 for r in res if not r[0])
+        if not stage_walls:  # every worker died before its timing put
+            raise SystemExit(f"nproc={nproc}: all {nproc} workers failed")
         per_proc = (sum(r[0] / r[1] for r in res if r[0] and r[1])
-                    / max(1, len(stage_walls)))
+                    / len(stage_walls))
+        if n_failed:
+            print(f"nproc={nproc}: WARNING {n_failed} worker(s) failed — "
+                  "throughput below is understated", flush=True)
         print(f"nproc={nproc}: {rows} turns, job wall {wall:.1f}s "
               f"(incl fork+read), mean stage wall {sum(stage_walls)/len(stage_walls):.1f}s, "
               f"per-proc {per_proc:.0f} turns/s, "
