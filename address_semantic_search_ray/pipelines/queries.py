@@ -572,6 +572,30 @@ def dedup_exact(sf_dir: str):
     return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def _lang_word_tokens(composite: str) -> set:
+    """Lang-qualified word-token set of a "lang\\x00text" composite: the
+    PPJoin posting keys for the word-set route. Qualifying every token with
+    its lang makes cross-lang candidate pairs impossible (no shared token)
+    while |set| equals the plain word-set size, so the prefix bound matches
+    ``_wordset_sim``'s Jaccard exactly."""
+    lang, _, text = composite.partition("\x00")
+    pre = lang + "\x00"
+    return {pre + w for w in text.split(" ")}
+
+
+def _wordset_sim(a: str, b: str) -> float:
+    """Word-set Jaccard over "lang\\x00text" composites; 0.0 across langs
+    (defensive — lang-qualified postings never produce cross-lang pairs)."""
+    la, _, ta = a.partition("\x00")
+    lb, _, tb = b.partition("\x00")
+    if la != lb:
+        return 0.0
+    sa, sb = set(ta.split(" ")), set(tb.split(" "))
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
 def _build_wordset_incidence(path: str):
     """Ray task: doc x word-vocab float32 incidence + ids + langs + set
     sizes + doc_id->row map over the documents table, broadcast via
@@ -603,14 +627,16 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
     store, which a bounded-vocab corpus guarantees), the query side STREAMS
     — one BLAS matmul per batch with vectorized lang/order/threshold masks;
     no ``lang`` group (~5 values = the classic hot key) ever materializes
-    in one task. A df-skewed unbounded vocabulary would instead route
-    through token-level prefix filtering — the exact PPJoin machinery
-    ``dedup_ngram_jaccard`` runs over char shingles; here the matrix-bytes
-    budget gates the dense plan and falls back to the per-lang grouped
-    formulation for oversized vocabularies."""
+    in one task. A df-skewed unbounded vocabulary (matrix-bytes budget
+    exceeded) routes through token-level prefix filtering instead — the
+    exact PPJoin machinery ``dedup_ngram_jaccard`` runs over char shingles,
+    here over LANG-QUALIFIED word tokens (posting key = lang + NUL + word,
+    so candidates are within-lang by construction) sharing the same heavy-
+    head broadcast, bucketed candidate generation and distributed verify
+    (round-4 verdict #1: the per-lang grouped-quadratic branch is gone).
+    ``ASR_WORDSET_PLAN=dense|postings`` forces a route (tests); both are
+    exact, so they emit identical pair tables."""
     import pyarrow.parquet as pq
-
-    from ..stages.dedup import wordset_jaccard_pairs
 
     path = _t(sf_dir, "documents")
     n_docs = pq.ParquetFile(path).metadata.num_rows
@@ -639,11 +665,22 @@ def dedup_wordset_jaccard(sf_dir: str, threshold: float = 0.9):
          .map_batches(batch_words, batch_format="pandas")
          .groupby("_wb").map_groups(bucket_count, batch_format="pandas")
          .iter_batches(batch_size=None, batch_format="pandas"))))
-    if n_docs * max(1, vocab) * 4 > 8_000_000_000:
-        ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-        return ds.groupby("lang").map_groups(
-            lambda g: wordset_jaccard_pairs(g, threshold),
-            batch_format="pandas")
+    plan = os.environ.get("ASR_WORDSET_PLAN", "auto")
+    oversized = n_docs * max(1, vocab) * 4 > 8_000_000_000
+    if plan == "postings" or (plan == "auto" and oversized):
+        # lang-qualified composite text: "lang\x00text" — ONE string column
+        # through the shared PPJoin tail; the tokenizer re-splits it
+        def compose(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    t.column("lang"), t.column("text"), "\x00")})
+
+        cdocs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+            .map_batches(compose, batch_format="pyarrow")
+        df_agg = _token_df_agg(cdocs, tokens_of=_lang_word_tokens)
+        return _prefix_filter_pairs(cdocs, df_agg, n_docs, _wordset_sim,
+                                    threshold, tokens_of=_lang_word_tokens)
 
     ref = _build_wordset_incidence_task.remote(path)
 
@@ -742,9 +779,7 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
       <= |G| << 2^24, so f32 accumulation is exact). Bounded by the matrix
       fitting the object store — which a bounded-vocab corpus does by
       construction."""
-    from ..stages.dedup import (ngram_df_partial, ngram_jaccard,
-                                ngram_prefix_postings,
-                                shingle_bucket_candidate_pairs)
+    from ..stages.dedup import ngram_jaccard
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -754,23 +789,7 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
     # has billions of distinct 5-grams). Plan statistics (vocab size, median
     # df) fold from a tiny (df -> count) histogram of that aggregate, and
     # only the bounded HEAVY head is broadcast for the prefix order.
-    def add_shingle_bucket(h: pd.DataFrame) -> pa.Table:
-        h["_sb"] = _crc_bucket(h["shingle"], 64)
-        return _arrow(h)
-
-    def sum_bucket(g: pd.DataFrame) -> pa.Table:
-        out = g.groupby("shingle", sort=False, as_index=False)["df"].sum()
-        out["df"] = out["df"].astype(np.int64)
-        return _arrow(out)
-
-    # int-bucketed co-group instead of groupby(shingle).aggregate: Ray's
-    # sort-shuffle over ~1M distinct STRING keys dominated the whole query
-    # (18.4 s vs 6.9 s at sf0.1); 64 int buckets + a pandas sum inside move
-    # the same rows but sort 8-byte ints
-    df_agg = (docs.map_batches(ngram_df_partial, batch_format="pandas")
-              .map_batches(add_shingle_bucket, batch_format="pandas")
-              .groupby("_sb").map_groups(sum_bucket, batch_format="pandas")
-              ).materialize()
+    df_agg = _token_df_agg(docs)
 
     def df_hist(h: pd.DataFrame) -> pd.DataFrame:
         out = h.groupby("df", as_index=False).agg(cnt=("df", "size"))
@@ -808,11 +827,50 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
             for s in b.column("shingle").to_pylist())
         return _ngram_jaccard_dense(sf_dir, docs, shingles, threshold)
 
-    # heavy-head broadcast (stage docstring): only shingles with df > cap
-    # ship to the actors — by pigeonhole <= total_postings/cap entries, a
-    # bound independent of vocabulary size; absent shingles get order key
-    # (cap, shingle), below every heavy one, so hot shingles sort LAST and
-    # no prefix posting list exceeds cap docs
+    return _prefix_filter_pairs(docs, df_agg, n_docs, ngram_jaccard, threshold)
+
+
+def _token_df_agg(docs, tokens_of=None):
+    """Distributed token document-frequency aggregate over ``docs(doc_id,
+    text)``: per-batch partial Counters -> int-bucketed co-group sum
+    (Ray's sort-shuffle over ~1M distinct STRING keys dominated the whole
+    query — 18.4 s vs 6.9 s at sf0.1; 64 int buckets + a pandas sum inside
+    move the same rows but sort 8-byte ints). Materialized (shingle, df)
+    dataset; the full vocabulary never lands on the driver."""
+    from ..stages.dedup import ngram_df_partial
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return ngram_df_partial(batch, tokens_of=tokens_of)
+
+    def add_shingle_bucket(h: pd.DataFrame) -> pa.Table:
+        h["_sb"] = _crc_bucket(h["shingle"], 64)
+        return _arrow(h)
+
+    def sum_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("shingle", sort=False, as_index=False)["df"].sum()
+        out["df"] = out["df"].astype(np.int64)
+        return _arrow(out)
+
+    return (docs.map_batches(df_partial, batch_format="pandas")
+            .map_batches(add_shingle_bucket, batch_format="pandas")
+            .groupby("_sb").map_groups(sum_bucket, batch_format="pandas")
+            ).materialize()
+
+
+def _prefix_filter_pairs(docs, df_agg, n_docs: int, sim_fn, threshold: float,
+                         tokens_of=None):
+    """Shared PPJoin tail (char-shingle and word-token routes): heavy-head
+    broadcast -> prefix postings -> bucketed candidate pairs -> exact
+    distributed verify.
+
+    Heavy-head broadcast: only tokens with df > cap ship to the actors — by
+    pigeonhole <= total_postings/cap entries, a bound independent of
+    vocabulary size; absent tokens get order key (cap, token), below every
+    heavy one, so hot tokens sort LAST and no prefix posting list exceeds
+    cap docs."""
+    from ..stages.dedup import (ngram_prefix_postings,
+                                shingle_bucket_candidate_pairs)
+
     cap = max(2, n_docs // 256)
     heavy: dict = {}
     for b in (df_agg
@@ -824,14 +882,15 @@ def _ngram_pairs_compute(sf_dir: str, threshold: float = 0.5):
     df_ref = ray.put(heavy)
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
-        out = ngram_prefix_postings(batch, ray.get(df_ref), threshold, cap=cap)
+        out = ngram_prefix_postings(batch, ray.get(df_ref), threshold,
+                                    cap=cap, tokens_of=tokens_of)
         out["_sb"] = _crc_bucket(out["shingle"], 32)
         return _arrow(out)
 
     cands = (docs.map_batches(postings, batch_format="pandas")
              .groupby("_sb").map_groups(shingle_bucket_candidate_pairs,
                                         batch_format="pandas")).materialize()
-    return _verify_candidate_pairs(docs, cands, ngram_jaccard, threshold)
+    return _verify_candidate_pairs(docs, cands, sim_fn, threshold)
 
 
 def _build_ngram_incidence(path: str, shingles: list):

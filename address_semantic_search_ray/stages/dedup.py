@@ -309,21 +309,27 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = NGRAM_N) -> float:
     return inter / union if union else 0.0
 
 
-def ngram_df_partial(batch: pd.DataFrame, n: int = NGRAM_N) -> pd.DataFrame:
-    """Per-batch partial document frequency of every distinct char-n-gram
-    (the pre-aggregate for the global df order the prefix filter sorts by)."""
+def ngram_df_partial(batch: pd.DataFrame, n: int = NGRAM_N,
+                     tokens_of=None) -> pd.DataFrame:
+    """Per-batch partial document frequency of every distinct token
+    (the pre-aggregate for the global df order the prefix filter sorts by).
+    ``tokens_of`` overrides the char-n-gram tokenizer — the prefix-filter
+    math is tokenizer-agnostic (any set-Jaccard join), so the word-set
+    route reuses this with word tokens."""
     from collections import Counter
 
+    tokens_of = tokens_of or (lambda t: _char_shingles(t, n))
     counts: Counter = Counter()
     for text in batch["text"]:
-        counts.update(_char_shingles(text, n))
+        counts.update(tokens_of(text))
     return pd.DataFrame({"shingle": list(counts.keys()),
                          "df": np.fromiter(counts.values(), dtype=np.int64,
                                            count=len(counts))})
 
 
 def ngram_prefix_postings(batch: pd.DataFrame, df_map: dict, threshold: float,
-                          n: int = NGRAM_N, cap: int | None = None) -> pd.DataFrame:
+                          n: int = NGRAM_N, cap: int | None = None,
+                          tokens_of=None) -> pd.DataFrame:
     """(shingle, doc_id) postings for each doc's PREFIX shingles only.
 
     Prefix filtering (SSJoin/PPJoin): with every doc's shingle set sorted by
@@ -341,10 +347,11 @@ def ngram_prefix_postings(batch: pd.DataFrame, df_map: dict, threshold: float,
     prefix shingles stay <= cap docs. Completeness needs only a globally
     consistent total order, which any clamp preserves. ``cap=None`` keeps
     the exact (df, shingle) order for full maps (tests/small corpora)."""
+    tokens_of = tokens_of or (lambda t: _char_shingles(t, n))
     default = 1 if cap is None else cap
     shingles_out, ids_out = [], []
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        g = sorted(_char_shingles(text, n),
+        g = sorted(tokens_of(text),
                    key=lambda s: (df_map.get(s, default), s))
         if not g:
             continue
