@@ -1634,24 +1634,135 @@ def similarity_topk(sf_dir: str, k: int = 5, n_queries: int = 5):
     return partials.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
-def _build_knn_corpus(path: str):
-    """Ray task: (ids, L2-normalized f64 matrix) of the whole embedding
-    table, built off-driver and broadcast via ObjectRef (plasma zero-copy
-    per node)."""
+def _emb_matrix_bytes(path: str) -> int:
+    """Predicted f64 corpus-matrix bytes from parquet footers only (no data
+    read; the ``estimate_index_bytes`` recipe): 2x the embedding column's
+    uncompressed bytes (float -> double upper bound) + 16 B/row."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    rows = 0
+    emb_bytes = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema.split(".")[0] == "embedding":
+                    emb_bytes += col.total_uncompressed_size
+    return emb_bytes * 2 + rows * 16
+
+
+def _emb_shard_units(path: str, n_shards: int) -> list:
+    """Split the embedding table into ``n_shards`` contiguous row ranges,
+    expressed as (file, row_group, local_offset, length) units so each
+    shard task reads ONLY its row groups (the parquet IO atom). When shards
+    outnumber row groups (small corpora / forced-shard tests) a row group
+    is sliced across shards — it is then read once per overlapping shard,
+    which at scale never happens (row groups are plentiful)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+        if os.path.isdir(path) else [path]
+    units = []
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            units.append((f, rg, md.row_group(rg).num_rows))
+    total = sum(u[2] for u in units)
+    n_shards = max(1, min(n_shards, total))
+    bounds = [round(s * total / n_shards) for s in range(n_shards + 1)]
+    shards: list[list] = [[] for _ in range(n_shards)]
+    off = 0
+    for f, rg, n in units:
+        for s in range(n_shards):
+            lo, hi = max(bounds[s], off), min(bounds[s + 1], off + n)
+            if lo < hi:
+                shards[s].append((f, rg, lo - off, hi - lo))
+        off += n
+    return [s for s in shards if s]
+
+
+def _build_emb_shard(units: list, with_label: bool):
+    """Ray task: one corpus shard -> (ids, labels | None, L2-normalized f64
+    matrix), reading only the shard's row groups."""
     import pyarrow.parquet as pq
 
     from ..stages.vector import normalize_rows
 
-    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    parts = []
+    for f, rg, lo, n in units:
+        part = pq.ParquetFile(f).read_row_group(rg, columns=cols)
+        if lo or n != part.num_rows:
+            part = part.slice(lo, n)
+        parts.append(part)
+    t = pa.concat_tables(parts)
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64) \
+        if with_label else None
     if not len(ids):  # np.stack refuses zero arrays
-        return ids, np.zeros((0, 0), dtype=np.float64)
+        return ids, labels, np.zeros((0, 0), dtype=np.float64)
     mat = normalize_rows(
         np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
-    return ids, mat
+    return ids, labels, mat
 
 
-_build_knn_corpus_task = ray.remote(_build_knn_corpus)
+_build_emb_shard_task = ray.remote(_build_emb_shard)
+
+
+def _emb_corpus_refs(path: str, with_label: bool = False) -> list:
+    """Size-routed broadcast of the embedding corpus: ONE payload ref when
+    the predicted f64 matrix fits the per-payload budget
+    (``ASR_EMB_SHARD_BYTES``, default 2 GB), else ceil(est/budget) shard
+    payloads built in parallel Ray tasks — streamed query batches fold
+    exact partial results across the refs (the ``build_sharded_index_refs``
+    shape for flat matrices). ``ASR_EMB_SHARDS`` forces a count (tests)."""
+    budget = int(os.environ.get("ASR_EMB_SHARD_BYTES", 2_000_000_000))
+    forced = int(os.environ.get("ASR_EMB_SHARDS", "0"))
+    n_shards = forced if forced > 0 \
+        else max(1, -(-_emb_matrix_bytes(path) // budget))
+    if n_shards == 1:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+            if os.path.isdir(path) else [path]
+        units = []
+        for f in files:
+            md = pq.read_metadata(f)
+            for rg in range(md.num_row_groups):
+                units.append((f, rg, 0, md.row_group(rg).num_rows))
+        return [_build_emb_shard_task.remote(units, with_label)]
+    return [_build_emb_shard_task.remote(u, with_label)
+            for u in _emb_shard_units(path, n_shards)]
+
+
+def _topk_rows(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Exact per-row top-kk column indices under (cos DESC, id ASC) — the
+    oracle's ``row_number`` order. Full lexsort for small corpora; past
+    ~8k columns an argpartition cut first keeps every column whose sim
+    ties-or-beats the kk-th largest (ties INCLUDED, so the id tie-break
+    stays exact), then the same lexsort runs among candidates only."""
+    kk = min(kk, sims.shape[1])
+    if sims.shape[1] <= max(8192, 4 * kk):
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        return order[:, :kk]
+    kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+    out = np.empty((sims.shape[0], kk), dtype=np.int64)
+    for r in range(sims.shape[0]):
+        cand = np.flatnonzero(sims[r] >= kth[r])
+        o = np.lexsort((ids[cand], -sims[r, cand]))
+        out[r] = cand[o[:kk]]
+    return out
 
 
 def knn_graph(sf_dir: str, k: int = 5):
@@ -1659,22 +1770,26 @@ def knn_graph(sf_dir: str, k: int = 5):
     neighbors — the embedding-curation primitive next to near-dup (cluster
     seeding, diversity sampling, curriculum neighbors).
 
-    Scale shape: the corpus side is built in ONE Ray task and broadcast
-    (``ray.put`` once, plasma-mapped zero-copy per node; past worker memory
-    it shards like the kg corpus index with a per-batch partial-top-k fold
-    across shard refs), while the query side STREAMS — one f64 BLAS matmul
-    per batch, per-row selection, no shuffle anywhere. Selection here is a
-    full per-row lexsort (exact ties: cos desc, neighbor_id asc — the
-    oracle's ``row_number`` order); the >>100k-corpus path is argpartition
-    to ~4k candidates + the same lexsort among them."""
+    Scale shape (size-routed, round-4 verdict #3): the corpus side is built
+    as one-or-more broadcast payloads (``_emb_corpus_refs``: ONE Ray task
+    when the predicted f64 matrix fits the per-payload budget, else
+    parallel shard tasks each reading only its row groups — plasma-mapped
+    zero-copy per node either way), while the query side STREAMS — one f64
+    BLAS matmul per batch PER SHARD, exact per-shard top-k candidates
+    (cos desc, neighbor_id asc — the oracle's ``row_number`` order; the
+    global winner set is contained in the union of per-shard winner sets
+    under the same total order), folded by one final lexsort over
+    <= n_shards*k candidates per row. Selection uses ``_topk_rows``:
+    full lexsort for small shards, argpartition cut past ~8k columns."""
     path = _t(sf_dir, "embeddings")
-    ref = _build_knn_corpus_task.remote(path)
+    refs = _emb_corpus_refs(path)
 
     def knn_batch(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.vector import normalize_rows
 
-        ids, mat = ray.get(ref)
-        kk = min(k, len(ids) - 1)
+        shards = ray.get(refs)
+        total_n = sum(len(s[0]) for s in shards)
+        kk = min(k, total_n - 1)
         if kk <= 0 or not len(df):
             return pd.DataFrame({
                 "vec_id": np.asarray([], dtype=np.int64),
@@ -1683,15 +1798,24 @@ def knn_graph(sf_dir: str, k: int = 5):
                 "rank": np.asarray([], dtype=np.int64)})
         q_ids = df["vec_id"].to_numpy(dtype=np.int64)
         qm = normalize_rows(np.stack(df["embedding"].to_numpy()).astype(np.float64))
-        sims = qm @ mat.T
-        sims[ids[None, :] == q_ids[:, None]] = -np.inf  # exclude self
-        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
-        top = order[:, :kk]
-        rows = np.repeat(np.arange(len(q_ids)), kk)
+        cand_ids, cand_sims = [], []
+        for ids, _, mat in shards:
+            if not len(ids):
+                continue
+            sims = qm @ mat.T
+            sims[ids[None, :] == q_ids[:, None]] = -np.inf  # exclude self
+            top = _topk_rows(sims, ids, kk)
+            rows = np.arange(len(q_ids))[:, None]
+            cand_ids.append(ids[top])
+            cand_sims.append(sims[rows, top])
+        c_ids = np.concatenate(cand_ids, axis=1)
+        c_sims = np.concatenate(cand_sims, axis=1)
+        order = np.lexsort((c_ids, -c_sims), axis=1)[:, :kk]
+        rows = np.arange(len(q_ids))[:, None]
         return pd.DataFrame({
             "vec_id": np.repeat(q_ids, kk),
-            "neighbor_id": ids[top.ravel()],
-            "cos": np.round(sims[rows, top.ravel()], 6),
+            "neighbor_id": c_ids[rows, order].ravel(),
+            "cos": np.round(c_sims[rows, order], 6).ravel(),
             "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), len(q_ids)),
         })
 
@@ -1829,44 +1953,25 @@ def similarity_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
     return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
-def _build_labeled_corpus(path: str):
-    """Ray task: (ids, labels, L2-normalized f64 matrix) of the embedding
-    table, built off-driver, broadcast via ObjectRef (plasma zero-copy)."""
-    import pyarrow.parquet as pq
-
-    from ..stages.vector import normalize_rows
-
-    t = pq.read_table(path, columns=["vec_id", "embedding", "label"])
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
-    if not len(ids):  # np.stack refuses zero arrays
-        return ids, labels, np.zeros((0, 0), dtype=np.float64)
-    mat = normalize_rows(
-        np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
-    return ids, labels, mat
-
-
-_build_labeled_corpus_task = ray.remote(_build_labeled_corpus)
-
-
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
-    """EXACT within-label cosine near-dup join, scale-safe (round-4 rewrite
-    of the all-pairs-per-label-group fixture this used to be): the corpus
-    side is ONE broadcast (ids, labels, normalized matrix) payload built
-    off-driver (plasma zero-copy per node; shards like the kg corpus index
-    past worker memory), the query side STREAMS — one f64 BLAS matmul per
-    batch, vectorized label-equality / ordering / threshold masks, no
-    shuffle. The ~5-value ``label`` column is exactly the hot-key shape a
+    """EXACT within-label cosine near-dup join, scale-safe: the corpus side
+    is one-or-more broadcast (ids, labels, normalized matrix) payloads
+    built off-driver (``_emb_corpus_refs``: size-routed like the kg corpus
+    index — ONE task under the per-payload budget, parallel row-group
+    shards past it; round-4 verdict #3), the query side STREAMS — one f64
+    BLAS matmul per batch per shard, vectorized label-equality / ordering /
+    threshold masks, no shuffle; threshold hits concatenate across shards
+    (each dot product is independent, so the fold is trivially exact). The
+    ~5-value ``label`` column is exactly the hot-key shape a
     ``groupby(label)`` would funnel into one task; here no label group ever
-    materializes anywhere. Each dot product is independent, so the pair set
-    and cos values are bit-identical to the all-pairs formulation."""
+    materializes anywhere. The pair set and cos values are bit-identical to
+    the all-pairs formulation."""
     path = _t(sf_dir, "embeddings")
-    ref = _build_labeled_corpus_task.remote(path)
+    refs = _emb_corpus_refs(path, with_label=True)
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         from ..stages.vector import normalize_rows
 
-        ids, labels, mat = ray.get(ref)
         if not len(df):
             return pd.DataFrame({
                 "vec_id_a": np.asarray([], dtype=np.int64),
@@ -1876,15 +1981,27 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
         q_lab = df["label"].to_numpy(dtype=np.int64)
         qm = normalize_rows(np.stack(df["embedding"].to_numpy())
                             .astype(np.float64))
-        sims = qm @ mat.T
-        keep = ((sims >= threshold)
-                & (labels[None, :] == q_lab[:, None])
-                & (ids[None, :] > q_ids[:, None]))
-        bi, bj = np.nonzero(keep)
+        a_out, b_out, c_out = [], [], []
+        for ids, labels, mat in ray.get(refs):
+            if not len(ids):
+                continue
+            sims = qm @ mat.T
+            keep = ((sims >= threshold)
+                    & (labels[None, :] == q_lab[:, None])
+                    & (ids[None, :] > q_ids[:, None]))
+            bi, bj = np.nonzero(keep)
+            a_out.append(q_ids[bi])
+            b_out.append(ids[bj])
+            c_out.append(np.round(sims[bi, bj], 6))
+        if not a_out:
+            return pd.DataFrame({
+                "vec_id_a": np.asarray([], dtype=np.int64),
+                "vec_id_b": np.asarray([], dtype=np.int64),
+                "cos": np.asarray([], dtype=np.float64)})
         return pd.DataFrame({
-            "vec_id_a": q_ids[bi],
-            "vec_id_b": ids[bj],
-            "cos": np.round(sims[bi, bj], 6),
+            "vec_id_a": np.concatenate(a_out),
+            "vec_id_b": np.concatenate(b_out),
+            "cos": np.concatenate(c_out),
         })
 
     return _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]) \
