@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q.token_quantiles,
         "decontaminate": q.decontaminate,
         "stratified_sample": q.stratified_sample,
+        "docs_pack_sequences": q.docs_pack_sequences,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -400,6 +401,19 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{6,}', '<NUM>', 'g') AS text
             FROM documents
+        """,
+        "docs_pack_sequences": """
+            SELECT doc_id,
+                   n_tokens,
+                   (running - n_tokens)::BIGINT AS start_tok,
+                   ((running - n_tokens) // 512)::BIGINT AS bin_id
+            FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       SUM(len(string_split(text, ' '))::BIGINT)
+                           OVER (ORDER BY doc_id) AS running
+                FROM documents
+            )
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -1457,6 +1457,66 @@ def decontaminate(sf_dir: str, n_words: int = 13, train: int = 90, val: int = 5)
     return docs.map_batches(flag, batch_format="pandas")
 
 
+def docs_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
+    """Sequence packing for LLM training batches: concatenate documents in
+    doc_id order into one global token stream split at fixed ``ctx``-token
+    boundaries; each doc reports its exclusive-prefix-sum start offset and
+    the context window (bin) its first token lands in.
+
+    Scale shape — the distributed PREFIX-SUM (scan) primitive the other
+    operators don't cover: ONE pass over the corpus emits (doc_id,
+    n_tokens) rows (vectorized space-count; 2 int64 columns, tiny next to
+    the text) which materialize once; doc_id range-buckets into contiguous
+    key ranges, each bucket's token TOTAL folds to <= n_buckets driver
+    rows whose exclusive cumsum is the bucket's global start offset
+    (broadcast dict); one bounded shuffle then sorts each bucket locally,
+    local-cumsums and adds its offset — an exact global scan in two passes
+    over the TINY side and one over the corpus, no driver data pass, no
+    sequential dependency across buckets."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        # len(text.split(' ')) == count(' ') + 1, incl. the empty string
+        n = pc.add(pc.count_substring(t.column("text"), " "),
+                   pa.scalar(1, pa.int32()))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": n.cast(pa.int64())})
+
+    tok = docs.map_batches(count_tokens, batch_format="pyarrow").materialize()
+    rng = tok.aggregate(Min("doc_id", alias_name="lo"),
+                        Max("doc_id", alias_name="hi"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.subtract(t.column("doc_id"), pa.scalar(lo, pa.int64())),
+                      pa.scalar(width, pa.int64()))
+        return t.append_column("bucket", b.cast(pa.int64()))
+
+    btok = tok.map_batches(add_bucket, batch_format="pyarrow")
+
+    totals = (btok.groupby("bucket")
+              .aggregate(Sum("n_tokens", alias_name="total"))).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    csum = totals["total"].to_numpy(dtype=np.int64).cumsum()
+    offsets = dict(zip(totals["bucket"].astype(int),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+    off_ref = ray.put(offsets)
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="stable")
+        tok_arr = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = (np.cumsum(tok_arr) - tok_arr
+                 + ray.get(off_ref)[int(g["bucket"].iloc[0])])
+        return _arrow(pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": tok_arr,
+            "start_tok": start,
+            "bin_id": start // ctx}))
+
+    return btok.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
 def stratified_sample(sf_dir: str, k: int = 20):
     """Deterministic per-language sample: the first k docs per lang in
     (md5(doc_id), doc_id) order — reproducible under re-runs and corpus

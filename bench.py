@@ -34,7 +34,7 @@ BENCH_QUERIES = (
     "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
     "events_approx_users_hll", "events_heavy_users_cms",
     "token_quantiles", "split_assign",
-    "decontaminate", "stratified_sample",
+    "decontaminate", "stratified_sample", "docs_pack_sequences",
     "text_token_count", "text_quality",
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
     "events_retention",
@@ -140,6 +140,10 @@ def run_bench() -> dict:
         # doubling adds memory buses with the cores, so this pair — not the
         # bus-saturated 16->32 one — is the regime a cluster doubling lives in
         result["scaling_8_16"] = _scaling_pair(8, 16, runs=1)
+        # second sub-saturation doubling (round-4 verdict #6): 4->8 sits
+        # even further below the ~16-20-worker bus knee, giving BASELINE.md
+        # two clean doublings before saturation next to the primary pair
+        result["scaling_4_8"] = _scaling_pair(4, 8, runs=1)
     return result
 
 

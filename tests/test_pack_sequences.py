@@ -1,0 +1,66 @@
+"""docs_pack_sequences: the distributed prefix-sum (scan) primitive vs a
+sequential naive twin, including non-contiguous doc_ids and bucket-boundary
+offsets."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _naive(ids, texts, ctx):
+    order = np.argsort(ids)
+    running = 0
+    rows = []
+    for i in order:
+        n = len(texts[i].split(" "))
+        rows.append((int(ids[i]), n, running, running // ctx))
+        running += n
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "start_tok",
+                                       "bin_id"])
+
+
+def _got(sf_dir, ctx, n_buckets):
+    from address_semantic_search_ray.pipelines.queries import docs_pack_sequences
+
+    return (docs_pack_sequences(sf_dir, ctx=ctx, n_buckets=n_buckets)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "n_tokens": np.int64,
+                     "start_tok": np.int64, "bin_id": np.int64}))
+
+
+def test_pack_sequences_matches_sequential_scan(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    # SPARSE, shuffled doc_ids: the bucket ranges are uneven on purpose
+    ids = rng.choice(np.arange(10_000, dtype=np.int64), size=400,
+                     replace=False)
+    texts = ["w " * rng.integers(0, 40) + "end" for _ in ids]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    for ctx, n_buckets in ((16, 8), (512, 64), (7, 3)):
+        got = _got(str(tmp_path), ctx, n_buckets)
+        want = _naive(ids, texts, ctx).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_sequences_single_doc_and_empty_text(ray_session, tmp_path):
+    # "" splits to [''] -> 1 token; a single doc starts at offset 0, bin 0
+    pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64()),
+                             "text": pa.array([""], pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    got = _got(str(tmp_path), 512, 64)
+    assert got.iloc[0].tolist() == [7, 1, 0, 0]
+
+
+def test_pack_sequences_bins_are_contiguous(ray_session):
+    # over the real testdata: starts are a perfect exclusive prefix sum and
+    # bin assignment matches start // ctx
+    got = _got("/root/testdata/sf0.001", 512, 64)
+    starts = got["start_tok"].to_numpy()
+    toks = got["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert (got["bin_id"].to_numpy() == starts // 512).all()
