@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.decontaminate,
         "stratified_sample": q.stratified_sample,
         "docs_pack_sequences": q.docs_pack_sequences,
+        "docs_tfidf": q.docs_tfidf,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -401,6 +402,30 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{6,}', '<NUM>', 'g') AS text
             FROM documents
+        """,
+        "docs_tfidf": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY term
+            ), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln((SELECT n FROM n) / df.df) AS tfidf_raw,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln((SELECT n FROM n) / df.df) DESC,
+                                    tf.term) AS rank
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf,
+                   rank::BIGINT AS rank
+            FROM scored WHERE rank <= 3
         """,
         "docs_pack_sequences": """
             SELECT doc_id,

@@ -1517,6 +1517,73 @@ def docs_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
     return btok.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
+def docs_tfidf(sf_dir: str, k: int = 3, n_buckets: int = 64):
+    """Per-document top-k TF-IDF terms over the documents table (the
+    keyword-extraction / relevance-weighting primitive; tf = in-doc token
+    count, idf = ln(N/df), rank = (tfidf DESC, term ASC) row_number).
+
+    Scale shape — TWO bounded hash shuffles, no broadcast of the
+    vocabulary: (1) one corpus pass explodes (doc_id, term, tf) rows
+    (vectorized pandas groupby per batch — a doc lives wholly in one row,
+    so batch-local tf is exact) keyed by term bucket; since every row of a
+    term lands in its bucket, df(term) is just the bucket-local row count
+    per term — no separate df pass, no term->df join; the group attaches
+    tfidf in place. (2) the scored rows re-key by doc bucket and each
+    doc's top-k resolves inside its bucket. idf uses ONE math.log call per
+    DISTINCT df value (libm bit-parity with the DuckDB oracle's ln — the
+    same last-ulp discipline as the kg idf kernel)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_docs = float(pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "_tb": pa.array([], pa.int64())})
+        toks = df["text"].str.split(" ")
+        flat = pd.DataFrame({
+            "doc_id": df["doc_id"].repeat(toks.str.len()).to_numpy(dtype=np.int64),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        tf = flat.groupby(["doc_id", "term"], sort=False, as_index=False) \
+            .agg(tf=("term", "size"))
+        tf["tf"] = tf["tf"].astype(np.int64)
+        tf["_tb"] = _crc_bucket(tf["term"], n_buckets)
+        return _arrow(tf)
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        # one row per (doc, term) -> bucket-local rows per term == df(term)
+        df_per_term = g.groupby("term", sort=False)["doc_id"].transform("size")
+        uniq = np.unique(df_per_term.to_numpy(dtype=np.int64))
+        log_of = {int(d): math.log(n_docs / d) for d in uniq}
+        idf = df_per_term.map(log_of).to_numpy(dtype=np.float64)
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "term": g["term"].to_numpy(),
+            "tfidf": g["tf"].to_numpy(dtype=np.int64) * idf,
+        })
+        out["_db"] = (out["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(out)
+
+    def topk_bucket(g: pd.DataFrame) -> pa.Table:
+        top = (g.sort_values(["doc_id", "tfidf", "term"],
+                             ascending=[True, False, True], kind="stable")
+               .groupby("doc_id", sort=False).head(k).reset_index(drop=True))
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        top["tfidf"] = np.round(top["tfidf"].to_numpy(), 6)
+        top["rank"] = top["rank"].astype(np.int64)
+        return _arrow(top[["doc_id", "term", "tfidf", "rank"]])
+
+    return (docs.map_batches(explode_tf, batch_format="pandas")
+            .groupby("_tb").map_groups(score_bucket, batch_format="pandas")
+            .groupby("_db").map_groups(topk_bucket, batch_format="pandas"))
+
+
 def stratified_sample(sf_dir: str, k: int = 20):
     """Deterministic per-language sample: the first k docs per lang in
     (md5(doc_id), doc_id) order — reproducible under re-runs and corpus

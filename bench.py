@@ -34,7 +34,7 @@ BENCH_QUERIES = (
     "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
     "events_approx_users_hll", "events_heavy_users_cms",
     "token_quantiles", "split_assign",
-    "decontaminate", "stratified_sample", "docs_pack_sequences",
+    "decontaminate", "stratified_sample", "docs_pack_sequences", "docs_tfidf",
     "text_token_count", "text_quality",
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
     "events_retention",
