@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q.kg_triples,
         "kg_mentions": q.kg_mentions,
         "kg_region_degree": q.kg_region_degree,
+        "kg_entity_cooccurrence": q.kg_entity_cooccurrence,
         "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
         "kg_turn_stats": q.kg_turn_stats,
@@ -641,6 +642,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_region_degree": f"""
             SELECT obj, pred, count(*) AS n
             FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+            GROUP BY 1, 2
+        """,
+        "kg_entity_cooccurrence": f"""
+            WITH ents AS (
+                SELECT DISTINCT conv_id, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'mentions'
+            )
+            SELECT a.obj AS obj_a, b.obj AS obj_b, count(*)::BIGINT AS n_convs
+            FROM ents a JOIN ents b USING (conv_id)
+            WHERE a.obj < b.obj
             GROUP BY 1, 2
         """,
         "kg_mentions": f"""

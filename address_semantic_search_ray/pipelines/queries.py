@@ -2248,6 +2248,68 @@ def kg_region_degree(sf_dir: str):
             .groupby("_b").map_groups(sum_bucket, batch_format="pandas"))
 
 
+def kg_entity_cooccurrence(sf_dir: str, n_buckets: int = 64):
+    """Entity co-occurrence edges over the materialized triple table: for
+    every pair of distinct region entities MENTIONED in the same
+    conversation, the number of conversations linking them — the
+    co-mention graph a KG build derives next to the explicit
+    located_at/part_of edges (relatedness priors, disambiguation context).
+
+    Scale shape: pruned column read of the partitioned triples parquet ->
+    per-batch local distinct (conv_id, obj) keyed by conv bucket -> ONE
+    co-group per conv bucket where each conversation's pair expansion runs
+    (quadratic only in a single conv's distinct entities — bounded by conv
+    length) and pair counts pre-aggregate -> one small pair-bucketed sum.
+    The triple stream never materializes; pair rows are the only second
+    shuffle unit. Oracle = the same join over the naive single-process
+    twin's independently-built triples."""
+    _ensure_kg_naive(sf_dir)
+    ds = rd.read_parquet(_kg_artifacts(sf_dir)["triples"],
+                         columns=["pred", "obj", "conv_id"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), "mentions"))
+        df = pd.DataFrame({"conv_id": t.column("conv_id").to_pandas(),
+                           "obj": t.column("obj").to_pandas()}) \
+            .drop_duplicates()
+        df["_cb"] = _crc_bucket(df["conv_id"], n_buckets)
+        return _arrow(df)
+
+    def conv_pairs(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop_duplicates(["conv_id", "obj"])
+             .sort_values(["conv_id", "obj"], kind="stable"))
+        a_out, b_out = [], []
+        for _, sub in g.groupby("conv_id", sort=False):
+            objs = sub["obj"].to_numpy()
+            if len(objs) < 2:
+                continue
+            i, j = np.triu_indices(len(objs), k=1)
+            a_out.append(objs[i])
+            b_out.append(objs[j])
+        if not a_out:
+            return pa.table({"obj_a": pa.array([], pa.string()),
+                             "obj_b": pa.array([], pa.string()),
+                             "n_convs": pa.array([], pa.int64()),
+                             "_pb": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"obj_a": np.concatenate(a_out),
+                              "obj_b": np.concatenate(b_out)})
+        part = pairs.groupby(["obj_a", "obj_b"], sort=False,
+                             as_index=False).agg(n_convs=("obj_a", "size"))
+        part["n_convs"] = part["n_convs"].astype(np.int64)
+        part["_pb"] = _crc_bucket(part["obj_a"] + "\x00" + part["obj_b"], 32)
+        return _arrow(part)
+
+    def sum_pairs(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby(["obj_a", "obj_b"], sort=False,
+                        as_index=False)["n_convs"].sum()
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return _arrow(out)
+
+    return (ds.map_batches(local_distinct, batch_format="pyarrow")
+            .groupby("_cb").map_groups(conv_pairs, batch_format="pandas")
+            .groupby("_pb").map_groups(sum_pairs, batch_format="pandas"))
+
+
 def kg_links_explain(sf_dir: str):
     """Explain-mode linking (the reference's ``explain`` surface,
     SimilarityComputer.java:456-550 + MatchedTerm.java:3-45, exposed by

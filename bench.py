@@ -42,6 +42,7 @@ BENCH_QUERIES = (
     "similarity_topk_ivf", "knn_graph",
     "embedding_near_dup", "embedding_near_dup_lsh",
     "multimodal_image_meta", "kg_links_explain", "kg_region_degree",
+    "kg_entity_cooccurrence",
 )
 
 

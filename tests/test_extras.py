@@ -251,3 +251,36 @@ def test_links_explain_matches_naive(ray_session, tmp_path):
     g = got.sort_values(key, kind="stable").reset_index(drop=True)
     e = exp[key].sort_values(key, kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_kg_entity_cooccurrence_matches_pandas_join(ray_session):
+    """Co-mention edges vs an independent pandas self-join over the SAME
+    pipeline triple table (the triple table itself is oracle-verified by
+    kg_triples): distinct (conv, obj) under pred='mentions', pairs a<b,
+    count of convs."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from address_semantic_search_ray.pipelines.queries import (
+        _kg_artifacts, kg_entity_cooccurrence)
+
+    sf = "/root/testdata/sf0.001"
+    got = (kg_entity_cooccurrence(sf).to_pandas()
+           .sort_values(["obj_a", "obj_b"]).reset_index(drop=True))
+
+    tri = rd.read_parquet(_kg_artifacts(sf)["triples"],
+                          columns=["pred", "obj", "conv_id"]).to_pandas()
+    ents = tri[tri["pred"] == "mentions"][["conv_id", "obj"]].drop_duplicates()
+    rows = {}
+    for _, sub in ents.groupby("conv_id"):
+        for a, b in itertools.combinations(sorted(sub["obj"]), 2):
+            rows[(a, b)] = rows.get((a, b), 0) + 1
+    want = (pd.DataFrame([(a, b, n) for (a, b), n in rows.items()],
+                         columns=["obj_a", "obj_b", "n_convs"])
+            .sort_values(["obj_a", "obj_b"]).reset_index(drop=True))
+    got["n_convs"] = got["n_convs"].astype(int)
+    want["n_convs"] = want["n_convs"].astype(int)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
