@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         "docs_pack_sequences": q.docs_pack_sequences,
         "docs_tfidf": q.docs_tfidf,
+        "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -634,6 +635,10 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_users_hll": f"""
             SELECT event_type, n_users_est
             FROM read_parquet('{SF001_ORACLE}/hll_users.parquet')
+        """,
+        "events_unseen_users_bloom": f"""
+            SELECT user_id, maybe_seen
+            FROM read_parquet('{SF001_ORACLE}/bloom_unseen_users.parquet')
         """,
         "kg_triples": f"""
             SELECT subj, pred, obj, conv_id, turn_idx, district_key, score

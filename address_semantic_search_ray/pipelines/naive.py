@@ -576,6 +576,35 @@ def write_hll_estimates(events_path: str, out_dir: str) -> None:
     _mark(out_dir, "hll_users", fp)
 
 
+def write_bloom_unseen_users(events_path: str, out_dir: str,
+                             step_a: str = "signup",
+                             step_b: str = "purchase") -> None:
+    """(user_id, maybe_seen): every distinct step_b user probed against the
+    step_a Bloom filter — single-process fold + probe with the same
+    kernel (stages/sketch.py) as the distributed operator; bitwise OR is
+    associative and idempotent, so the filter and every probe are
+    bit-identical. (No false negatives: 'absent' answers are certain; the
+    sketch's false positives only shrink this list the same way on both
+    sides.)"""
+    from ..stages import sketch
+    from ..stages.sketch import bloom_fold, bloom_probe
+
+    fp = _fingerprint(events_path, sketch.__file__) + f":{step_a}:{step_b}:v2"
+    if _cached(out_dir, "bloom_unseen_users", fp):
+        return
+    t = pq.read_table(events_path, columns=["event_type", "user_id"])
+    et = np.asarray(t.column("event_type").to_pylist())
+    ids = np.asarray(t.column("user_id").to_pylist(), dtype=np.int64)
+    filt = bloom_fold(ids[et == step_a])
+    probe_ids = np.unique(ids[et == step_b])
+    seen = bloom_probe(filt, probe_ids)
+    pq.write_table(
+        pa.table({"user_id": pa.array(probe_ids, pa.int64()),
+                  "maybe_seen": pa.array(seen, pa.bool_())}),
+        os.path.join(out_dir, "bloom_unseen_users.parquet"))
+    _mark(out_dir, "bloom_unseen_users", fp)
+
+
 def write_cms_heavy_users(events_path: str, out_dir: str,
                           min_count: int = 50) -> None:
     """(user_id, n_est): single-process Count-Min fold + probe with the same

@@ -426,6 +426,80 @@ def events_heavy_users_cms(sf_dir: str, min_count: int = 50,
             .groupby("_ub").map_groups(probe, batch_format="pandas"))
 
 
+def events_unseen_users_bloom(sf_dir: str, step_a: str = "signup",
+                              step_b: str = "purchase",
+                              n_buckets: int = 32):
+    """Bloom-filter membership: for every distinct ``step_b`` user, was the
+    id (maybe) present in the ``step_a`` user set? ``maybe_seen=False`` is
+    CERTAIN absence (a Bloom filter has no false negatives); True is
+    membership up to the classic false-positive rate — identical on both
+    sides of the gate because twin and pipeline share the kernel. The membership-filter primitive of
+    URL-seen / already-crawled / decontamination checks at 100 TB: the
+    filter is a FIXED 8 KB bit array whatever the id cardinality, partials
+    merge by bitwise OR (associative AND idempotent — safe under retries
+    and any partitioning). ONE pass over events (the CMS tagged-union
+    shape): each batch emits its step_a bloom partial words + its
+    locally-distinct step_b users; the merge and the bucketed probe both
+    consume the bounded materialized intermediate. Oracle = the naive twin
+    running the same kernel: bit-identical filter and probes."""
+    from ..stages.sketch import _BLOOM_WORDS, bloom_fold, bloom_probe
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_bloom_unseen_users(_t(sf_dir, "events"), out_dir,
+                                       step_a=step_a, step_b=step_b)
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def tagged(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        uid = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        a_ids = uid[pc.equal(et, step_a).to_numpy(zero_copy_only=False)]
+        words = bloom_fold(a_ids)
+        idx = np.flatnonzero(words)
+        b_users = np.unique(
+            uid[pc.equal(et, step_b).to_numpy(zero_copy_only=False)])
+        kind = np.concatenate([np.zeros(len(idx), dtype=np.int64),
+                               np.ones(len(b_users), dtype=np.int64)])
+        key = np.concatenate([idx, b_users])
+        # uint64 words ride arrow as int64 bit patterns (lossless view)
+        val = np.concatenate([words[idx].view(np.int64),
+                              np.zeros(len(b_users), dtype=np.int64)])
+        return pa.table({"kind": pa.array(kind, pa.int64()),
+                         "key": pa.array(key, pa.int64()),
+                         "val": pa.array(val, pa.int64()),
+                         "_ub": pa.array(np.where(kind == 1,
+                                                  key % n_buckets, -1),
+                                         pa.int64())})
+
+    tg = ds.map_batches(tagged, batch_format="pyarrow").materialize()
+
+    def or_words(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("key", sort=False)["val"].agg(
+            lambda s: np.bitwise_or.reduce(
+                s.to_numpy(dtype=np.int64).view(np.uint64)).view(np.int64))
+        return pd.DataFrame({"key": out.index.to_numpy(dtype=np.int64),
+                             "val": out.to_numpy(dtype=np.int64)})
+
+    merged = (tg.filter(expr="kind == 0")
+              .groupby("key").map_groups(or_words, batch_format="pandas")
+              ).to_pandas()
+    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    words[merged["key"].to_numpy(dtype=np.int64)] = \
+        merged["val"].to_numpy(dtype=np.int64).view(np.uint64)
+    words_ref = ray.put(words)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["key"].to_numpy(dtype=np.int64))
+        seen = bloom_probe(ray.get(words_ref), users)
+        return pd.DataFrame({"user_id": users, "maybe_seen": seen})
+
+    return (tg.filter(expr="kind == 1")
+            .groupby("_ub").map_groups(probe, batch_format="pandas"))
+
+
 def events_funnel(sf_dir: str, step_a: str = "signup",
                   step_b: str = "purchase", window_s: int = 7 * 86400,
                   n_buckets: int = 32):

@@ -79,6 +79,46 @@ def estimate(registers: np.ndarray) -> float:
     return e
 
 
+# -- Bloom filter (Bloom 1970) ----------------------------------------------
+
+BLOOM_BITS = 1 << 16         # 65,536 bits = 8 KB packed
+BLOOM_K = 4                  # hash functions
+_BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def bloom_positions(ids) -> np.ndarray:
+    """(len(ids), BLOOM_K) bit positions — the j-th 16-bit slice of the
+    splitmix64 hash (the ``cms_cells`` slicing; BLOOM_BITS = 2^16 makes
+    each slice a full-range position). One mix per id, vectorized."""
+    h = hash64_array(ids)
+    out = np.empty((len(ids), BLOOM_K), dtype=np.int64)
+    for j in range(BLOOM_K):
+        out[:, j] = ((h >> np.uint64(16 * j))
+                     & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+    return out
+
+
+def bloom_fold(ids) -> np.ndarray:
+    """Packed uint64 bit array (length 1024 = 8 KB) with every id's K bits
+    set. Bitwise OR is associative AND idempotent, so partial filters
+    merged in any order — or folded over overlapping partitions — equal
+    the single-pass filter bit-for-bit."""
+    words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+    pos = bloom_positions(ids).ravel()
+    np.bitwise_or.at(words, pos >> 6,
+                     np.uint64(1) << (pos & 63).astype(np.uint64))
+    return words
+
+
+def bloom_probe(words: np.ndarray, ids) -> np.ndarray:
+    """Membership per id: True iff all K bits are set. NO false negatives
+    ever (an inserted id always probes True); false-positive rate is the
+    classic (1 - e^(-K*n/m))^K."""
+    pos = bloom_positions(ids)
+    bits = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return bits.astype(bool).all(axis=1)
+
+
 # -- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
 
 CMS_W = 1024                 # cells per row

@@ -121,3 +121,42 @@ def test_merge_equals_single_pass(ids, split):
         true = np.fromiter((np.count_nonzero(arr == u) for u in uniq),
                            dtype=np.int64, count=len(uniq))
         assert (cms_probe(t_whole, uniq) >= true).all()
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    """An inserted id ALWAYS probes True (the Bloom guarantee the unseen-
+    users operator leans on: False == certain absence); the false-positive
+    rate on fresh ids stays within 3x the classic (1-e^(-Kn/m))^K bound."""
+    from address_semantic_search_ray.stages.sketch import (BLOOM_BITS,
+                                                           BLOOM_K,
+                                                           bloom_fold,
+                                                           bloom_probe)
+
+    rng = np.random.default_rng(13)
+    for n in (10, 500, 5_000):
+        pool = rng.choice(np.arange(10**7, dtype=np.int64), size=2 * n,
+                          replace=False)
+        inserted, fresh = pool[:n], pool[n:]
+        words = bloom_fold(inserted)
+        assert bloom_probe(words, inserted).all()          # no false negatives
+        fp = float(bloom_probe(words, fresh).mean())
+        bound = (1 - np.exp(-BLOOM_K * n / BLOOM_BITS)) ** BLOOM_K
+        assert fp <= 3 * bound + 0.002, (n, fp, bound)
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids=st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+                    min_size=0, max_size=200),
+       split=st.integers(min_value=0, max_value=200))
+def test_bloom_merge_is_or_and_idempotent(ids, split):
+    """OR-merge across any split equals the single-pass fold, and folding
+    duplicated input changes nothing — the two properties that make the
+    filter safe under retries and arbitrary partitioning."""
+    from address_semantic_search_ray.stages.sketch import bloom_fold
+
+    arr = np.asarray(ids, dtype=np.int64)
+    split = min(split, len(arr))
+    whole = bloom_fold(arr)
+    merged = bloom_fold(arr[:split]) | bloom_fold(arr[split:])
+    assert (whole == merged).all()
+    assert (bloom_fold(np.concatenate([arr, arr])) == whole).all()
