@@ -411,8 +411,9 @@ def events_heavy_users_cms(sf_dir: str, min_count: int = 50,
                    .groupby("key").aggregate(Sum("n", alias_name="n"))
                    ).to_pandas()
     table = np.zeros(CMS_D * CMS_W, dtype=np.int64)
-    table[merged_rows["key"].to_numpy(dtype=np.int64)] = \
-        merged_rows["n"].to_numpy(dtype=np.int64)
+    if len(merged_rows.columns):  # empty events -> schemaless empty frame
+        table[merged_rows["key"].to_numpy(dtype=np.int64)] = \
+            merged_rows["n"].to_numpy(dtype=np.int64)
     table_ref = ray.put(table.reshape(CMS_D, CMS_W))
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
@@ -487,8 +488,9 @@ def events_unseen_users_bloom(sf_dir: str, step_a: str = "signup",
               .groupby("key").map_groups(or_words, batch_format="pandas")
               ).to_pandas()
     words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
-    words[merged["key"].to_numpy(dtype=np.int64)] = \
-        merged["val"].to_numpy(dtype=np.int64).view(np.uint64)
+    if len(merged.columns):  # empty events -> schemaless empty frame
+        words[merged["key"].to_numpy(dtype=np.int64)] = \
+            merged["val"].to_numpy(dtype=np.int64).view(np.uint64)
     words_ref = ray.put(words)
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
@@ -1547,6 +1549,14 @@ def docs_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
     local-cumsums and adds its offset — an exact global scan in two passes
     over the TINY side and one over the corpus, no driver data pass, no
     sequential dependency across buckets."""
+    import pyarrow.parquet as pq
+
+    if pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.asarray([], dtype=np.int64),
+            "n_tokens": np.asarray([], dtype=np.int64),
+            "start_tok": np.asarray([], dtype=np.int64),
+            "bin_id": np.asarray([], dtype=np.int64)}))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_tokens(t: pa.Table) -> pa.Table:
