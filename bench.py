@@ -213,6 +213,9 @@ def run_scaling() -> dict:
         "turns_per_sec_8": pair["turns_per_sec"][0],
         "turns_per_sec_32": pair["turns_per_sec"][1],
         "scaling_efficiency": pair["scaling_efficiency"],
+        # the sub-saturation doubling (below the ~16-20-worker memory-bus
+        # knee, BASELINE.md) — the regime an N->4N NODE scale-up lives in
+        "scaling_8_16": _scaling_pair(8, 16, runs=1)["scaling_efficiency"],
         "sf": sf,
     }
     # NOTE: a 2-CPU lower anchor is not measurable — a 2-actor pool reserves
