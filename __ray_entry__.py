@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": q.asof_join_events_orders,
         "range_join_events_orders": q.range_join_events_orders,
         "topk_per_group": q.topk_per_group,
+        "orders_priority_semijoin": q.orders_priority_semijoin,
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
         "events_sessionize": q.events_sessionize,
@@ -143,6 +144,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(c.c_acctbal), 4) AS avg_acctbal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "orders_priority_semijoin": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
         """,
         "events_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

@@ -2689,6 +2689,72 @@ def _build_segment_map(path: str) -> dict:
 _build_segment_map_task = ray.remote(_build_segment_map)
 
 
+def orders_priority_semijoin(sf_dir: str, n_buckets: int = 32):
+    """TPC-H Q4-shaped LARGE x LARGE semi-join: orders with at least one
+    lineitem shipped after the order date, counted per order priority.
+    The one join shape the other operators don't cover — both sides too
+    big to broadcast, co-partitioned by the join key instead.
+
+    Scale shape: the lineitem side pre-aggregates inside ``map_batches``
+    to max(l_shipdate) per l_orderkey (EXISTS(shipdate > d) ==
+    max(shipdate) > d, and max is associative — the classic combiner), so
+    only <= |distinct orderkeys| fixed-width rows shuffle; both sides
+    union into ONE orderkey-bucketed co-group where a pandas merge + date
+    compare + per-priority partial count run vectorized; a final tiny
+    groupby(priority) sums the partials. No side is ever collected or
+    broadcast."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "key": df["o_orderkey"].to_numpy(dtype=np.int64),
+            "date_us": df["o_orderdate"].astype("datetime64[us]")
+                        .astype("int64"),
+            "prio": df["o_orderpriority"],
+            "side": np.zeros(len(df), dtype=np.int64),
+        })
+        out["_b"] = (out["key"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(out)
+
+    def item_side(df: pd.DataFrame) -> pa.Table:
+        g = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "date_us": df["l_shipdate"].astype("datetime64[us]")
+                        .astype("int64"),
+        }).groupby("key", as_index=False)["date_us"].max()
+        out = pd.DataFrame({
+            "key": g["key"].to_numpy(dtype=np.int64),
+            "date_us": g["date_us"].to_numpy(dtype=np.int64),
+            "prio": np.full(len(g), "", dtype=object),
+            "side": np.ones(len(g), dtype=np.int64),
+        })
+        out["_b"] = (out["key"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(out)
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0]
+        li = g[g["side"] == 1].groupby("key", as_index=False)["date_us"].max()
+        m = o.merge(li, on="key", how="inner", suffixes=("", "_ship"))
+        hit = m[m["date_us_ship"] > m["date_us"]]
+        part = hit.groupby("prio", as_index=False).agg(n=("prio", "size"))
+        part["n"] = part["n"].astype(np.int64)
+        return _arrow(part.rename(columns={"prio": "o_orderpriority"}))
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "n_orders": np.asarray([g["n"].sum()], dtype=np.int64)})
+        return _arrow(out)
+
+    both = orders.map_batches(order_side, batch_format="pandas") \
+        .union(items.map_batches(item_side, batch_format="pandas"))
+    return (both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+            .groupby("o_orderpriority").map_groups(final,
+                                                   batch_format="pandas"))
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (deterministic tie-break on o_orderkey).

@@ -25,6 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # operators timed alongside the headline pipeline (each returns a Dataset)
 BENCH_QUERIES = (
     "pricing_summary", "topk_orders", "topk_per_group", "customer_nation_join",
+    "orders_priority_semijoin",
     "asof_join_events_orders", "range_join_events_orders",
     "events_hourly", "events_hopping",
     "events_sessionize", "dedup_exact", "dedup_wordset_jaccard",
