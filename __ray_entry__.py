@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         "docs_pack_sequences": q.docs_pack_sequences,
         "docs_tfidf": q.docs_tfidf,
+        "docs_weighted_sample": q.docs_weighted_sample,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "lang_stats": q.lang_stats,
         # similarity search
@@ -413,6 +414,21 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{6,}', '<NUM>', 'g') AS text
             FROM documents
+        """,
+        "docs_weighted_sample": """
+            WITH t AS (
+                SELECT doc_id,
+                       greatest(n_chars, 1)::BIGINT AS w,
+                       ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                            + 1)::DOUBLE) / 4294967296.0)
+                           / greatest(n_chars, 1)::DOUBLE AS key
+                FROM documents
+            ), r AS (
+                SELECT doc_id, w,
+                       row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+                FROM t
+            )
+            SELECT doc_id, w, rank::BIGINT AS rank FROM r WHERE rank <= 20
         """,
         "docs_tfidf": """
             WITH toks AS (

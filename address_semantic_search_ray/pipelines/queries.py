@@ -1601,6 +1601,61 @@ def docs_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
     return btok.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
+def docs_weighted_sample(sf_dir: str, k: int = 20):
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis A-ES, the public weighted-reservoir recipe): each doc gets
+    key = ln(u)/w with u an md5-derived uniform and w = max(n_chars, 1);
+    the k LARGEST keys are the sample — longer docs proportionally more
+    likely, reproducible under re-runs and corpus growth (each doc's key
+    is a pure function of its id).
+
+    Scale shape: the key is a per-row map (no state); each batch keeps
+    only its local top-k under the (key DESC, doc_id ASC) total order (a
+    partial — the global winners are a subset of the per-batch winners),
+    so the final merge sees <= k rows per block. ln/division in ONE
+    math.log per row for libm bit-parity with the DuckDB oracle; u =
+    (first-8-hex-of-md5 + 1) / 2^32 is exact integer-derived arithmetic
+    on both sides (the ``split_assign`` md5 parity trick)."""
+    import hashlib
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed_partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.float64())})
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        w = np.maximum(df["n_chars"].to_numpy(dtype=np.int64), 1)
+        key = np.fromiter(
+            (math.log((int(hashlib.md5(str(int(i)).encode())
+                           .hexdigest()[:8], 16) + 1) / 4294967296.0) / wi
+             for i, wi in zip(ids, w)),
+            dtype=np.float64, count=len(ids))
+        out = pd.DataFrame({"doc_id": ids, "w": w, "key": key})
+        out = out.sort_values(["key", "doc_id"], ascending=[False, True],
+                              kind="stable").head(k)
+        return _arrow(out)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["key", "doc_id"], ascending=[False, True],
+                             kind="stable").head(k).reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top[["doc_id", "w", "rank"]]
+
+    parts = docs.map_batches(keyed_partial, batch_format="pandas")
+    # <= k rows per block reach the driver (the bounded-collection shape)
+    chunks = [b for b in parts.iter_batches(batch_size=None,
+                                            batch_format="pandas")
+              if len(b)]
+    merged = pd.concat(chunks, ignore_index=True) if chunks else \
+        pd.DataFrame({"doc_id": np.asarray([], dtype=np.int64),
+                      "w": np.asarray([], dtype=np.int64),
+                      "key": np.asarray([], dtype=np.float64)})
+    return rd.from_pandas(final(merged))
+
+
 def docs_tfidf(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """Per-document top-k TF-IDF terms over the documents table (the
     keyword-extraction / relevance-weighting primitive; tf = in-doc token

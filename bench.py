@@ -37,6 +37,7 @@ BENCH_QUERIES = (
     "events_unseen_users_bloom",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample", "docs_pack_sequences", "docs_tfidf",
+    "docs_weighted_sample",
     "text_token_count", "text_quality",
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
     "events_retention",

@@ -64,3 +64,41 @@ def test_pack_sequences_bins_are_contiguous(ray_session):
     assert starts[0] == 0
     assert (starts[1:] == starts[:-1] + toks[:-1]).all()
     assert (got["bin_id"].to_numpy() == starts // 512).all()
+
+
+def test_weighted_sample_matches_sequential_aes(ray_session, tmp_path):
+    """A-ES over a synthetic corpus vs a sequential naive: identical
+    selection and rank order; heavier docs appear more often than light
+    ones across disjoint id ranges (the weighting actually bites)."""
+    import hashlib
+    import math
+
+    ids = np.arange(1000, dtype=np.int64)
+    # ids < 500 are 100x heavier
+    n_chars = np.where(ids < 500, 5000, 50).astype(np.int64)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(["x"] * len(ids), pa.string()),
+                             "n_chars": pa.array(n_chars, pa.int64())}),
+                   str(tmp_path / "documents.parquet"))
+
+    def key_of(i, w):
+        u = (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) + 1) \
+            / 4294967296.0
+        return math.log(u) / max(int(w), 1)
+
+    want = sorted(((key_of(i, w), int(i)) for i, w in zip(ids, n_chars)),
+                  key=lambda t: (-t[0], t[1]))[:20]
+    want_ids = [i for _, i in want]
+
+    from address_semantic_search_ray.pipelines.queries import docs_weighted_sample
+
+    got = (docs_weighted_sample(str(tmp_path), k=20).to_pandas()
+           .sort_values("rank"))
+    assert got["doc_id"].tolist() == want_ids
+    # weighting bites: heavy ids dominate the sample
+    assert (np.asarray(want_ids) < 500).mean() > 0.8
+    # determinism: a second run returns the identical frame
+    got2 = (docs_weighted_sample(str(tmp_path), k=20).to_pandas()
+            .sort_values("rank"))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  got2.reset_index(drop=True))
