@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_image_meta": q.multimodal_image_meta,
         "multimodal_audio_frames": q.multimodal_audio_frames,
+        "multimodal_wav_decode": q.multimodal_wav_decode,
+        "multimodal_ppm_decode": q.multimodal_ppm_decode,
         # secondary reference pipelines
         "town_mining": q.town_mining,
         "regression_harness": q.regression_harness,
@@ -520,6 +522,35 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.e, b.e), 6) AS cos
             FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.e, b.e) >= 0.35
+        """,
+        "multimodal_wav_decode": """
+            WITH d AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+                 u AS (SELECT doc_id, n,
+                              unnest(generate_series(0, n - 1)) AS i
+                       FROM d)
+            SELECT doc_id, n AS n_samples, 8000::BIGINT AS sample_rate,
+                   sum(abs(((doc_id * 31 + i * 17) % 65536) - 32768))::BIGINT
+                       AS sum_abs
+            FROM u GROUP BY doc_id, n
+        """,
+        "multimodal_ppm_decode": """
+            WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                              8 + (doc_id * 7) % 13 AS h
+                       FROM documents),
+                 u AS (SELECT doc_id, w, h,
+                              unnest(generate_series(0, w * h * 3 - 1)) AS j
+                       FROM d)
+            SELECT doc_id, w AS width, h AS height,
+                   sum(CASE WHEN j % 3 = 0
+                            THEN (doc_id * 7 + j * 13) % 256 ELSE 0
+                       END)::BIGINT AS sum_r,
+                   sum(CASE WHEN j % 3 = 1
+                            THEN (doc_id * 7 + j * 13) % 256 ELSE 0
+                       END)::BIGINT AS sum_g,
+                   sum(CASE WHEN j % 3 = 2
+                            THEN (doc_id * 7 + j * 13) % 256 ELSE 0
+                       END)::BIGINT AS sum_b
+            FROM u GROUP BY doc_id, w, h
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -1,13 +1,20 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the DECODE itself is stubbed
-(gated behind an import-try; deterministic fake metadata otherwise) — but the
-Ray-side plumbing is real: binary column in Arrow batches, actor-pool stage
-with per-actor setup, small batch sizes for wide rows, metadata-only output.
+Two tiers of decode, honestly separated:
+- COMPRESSED formats (JPEG/PNG/MP3/H264) need external codecs this
+  container lacks — that path stays stubbed behind an import-try
+  (deterministic fake metadata otherwise).
+- UNCOMPRESSED formats decode for REAL with zero external deps: PCM WAV
+  through the stdlib ``wave`` RIFF reader (``WavDecode``) and netpbm P6
+  PPM through a header parse + raw pixel buffer (``PpmDecode``) — genuine
+  byte-level media parsing, so the actor-pool decode plumbing (binary
+  Arrow column in, per-actor setup, small batches, metadata-only out) is
+  exercised end-to-end against an exact SQL oracle.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -19,6 +26,103 @@ def attach_payload_batch(batch: pa.Table) -> pa.Table:
         "doc_id": batch.column("doc_id"),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+def attach_wav_payload_batch(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, payload:binary) where payload is a REAL PCM
+    WAV file (RIFF container, 16-bit mono, 8 kHz) written with the stdlib
+    ``wave`` codec; samples are a deterministic function of doc_id so an
+    exact SQL oracle can recompute the decoded stats."""
+    import io
+    import wave
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for doc_id in ids:
+        n = 64 + int(doc_id) % 129
+        i = np.arange(n, dtype=np.int64)
+        samples = ((int(doc_id) * 31 + i * 17) % 65536 - 32768).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        payloads.append(buf.getvalue())
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+class WavDecode:
+    """REAL audio decode: parse the RIFF/WAV container with the stdlib
+    ``wave`` reader, recover the PCM samples, emit exact integer stats
+    (sum of |sample| stays in int64 — no float drift vs the oracle)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ids = batch.column("doc_id").to_pylist()
+        n_out, rate_out, sum_out = [], [], []
+        for p in batch.column("payload").to_pylist():
+            with wave.open(io.BytesIO(p), "rb") as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                raw = w.readframes(n)
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            n_out.append(n)
+            rate_out.append(rate)
+            sum_out.append(int(np.abs(samples).sum()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_samples": pa.array(n_out, pa.int64()),
+                         "sample_rate": pa.array(rate_out, pa.int64()),
+                         "sum_abs": pa.array(sum_out, pa.int64())})
+
+
+def attach_ppm_payload_batch(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, payload:binary) where payload is a REAL netpbm
+    P6 (binary PPM) image; dimensions and pixels are deterministic in
+    doc_id so the SQL oracle recomputes the decoded channel sums."""
+    ids = batch.column("doc_id").to_pylist()
+    payloads = []
+    for doc_id in ids:
+        w = 8 + int(doc_id) % 9
+        h = 8 + (int(doc_id) * 7) % 13
+        j = np.arange(w * h * 3, dtype=np.int64)
+        pix = ((int(doc_id) * 7 + j * 13) % 256).astype(np.uint8)
+        payloads.append(b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes())
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+class PpmDecode:
+    """REAL image decode for the uncompressed netpbm P6 format: parse the
+    ASCII header (magic, dims, maxval), view the raw RGB buffer, emit
+    exact per-channel integer sums."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w_out, h_out, r_out, g_out, b_out = [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            # header: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes
+            head, _, rest = p.partition(b"\n")
+            assert head == b"P6", "not a P6 PPM"
+            dims, _, rest = rest.partition(b"\n")
+            _maxval, _, raw = rest.partition(b"\n")
+            w, h = (int(x) for x in dims.split())
+            pix = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3) \
+                .reshape(h, w, 3).astype(np.int64)
+            w_out.append(w)
+            h_out.append(h)
+            r_out.append(int(pix[:, :, 0].sum()))
+            g_out.append(int(pix[:, :, 1].sum()))
+            b_out.append(int(pix[:, :, 2].sum()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "width": pa.array(w_out, pa.int64()),
+                         "height": pa.array(h_out, pa.int64()),
+                         "sum_r": pa.array(r_out, pa.int64()),
+                         "sum_g": pa.array(g_out, pa.int64()),
+                         "sum_b": pa.array(b_out, pa.int64())})
 
 
 class ImageDecodeStub:
