@@ -2825,6 +2825,9 @@ def orders_priority_semijoin(sf_dir: str, n_buckets: int = 32):
         m = o.merge(li, on="key", how="inner", suffixes=("", "_ship"))
         hit = m[m["date_us_ship"] > m["date_us"]]
         part = hit.groupby("prio", as_index=False).agg(n=("prio", "size"))
+        if not len(part):  # empty object column would type as arrow null
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         part["n"] = part["n"].astype(np.int64)
         return _arrow(part.rename(columns={"prio": "o_orderpriority"}))
 
