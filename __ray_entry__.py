@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": q.kg_mentions,
         "kg_region_degree": q.kg_region_degree,
         "kg_entity_cooccurrence": q.kg_entity_cooccurrence,
+        "kg_conv_first_mentions": q.kg_conv_first_mentions,
+        "kg_cooccur_triangles": q.kg_cooccur_triangles,
+        "kg_region_pagerank": q.kg_region_pagerank,
         "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
         "kg_turn_stats": q.kg_turn_stats,
@@ -715,6 +718,97 @@ def oracle_sql() -> dict[str, str]:
             FROM ents a JOIN ents b USING (conv_id)
             WHERE a.obj < b.obj
             GROUP BY 1, 2
+        """,
+        "kg_conv_first_mentions": f"""
+            SELECT conv_id, obj, min(turn_idx)::BIGINT AS first_turn,
+                   count(*)::BIGINT AS n_mentions
+            FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+            WHERE pred = 'mentions'
+            GROUP BY 1, 2
+        """,
+        "kg_cooccur_triangles": f"""
+            WITH ents AS (
+                SELECT DISTINCT conv_id, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'mentions'
+            ),
+            pairs AS (
+                SELECT a.obj AS s, b.obj AS t
+                FROM ents a JOIN ents b USING (conv_id)
+                WHERE a.obj < b.obj GROUP BY 1, 2
+            ),
+            tri AS (
+                SELECT ab.s AS a, ab.t AS b, bc.t AS c
+                FROM pairs ab
+                JOIN pairs bc ON bc.s = ab.t
+                JOIN pairs ac ON ac.s = ab.s AND ac.t = bc.t
+            ),
+            corners AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT n.node, coalesce(cnt.n, 0)::BIGINT AS n_triangles
+            FROM (SELECT DISTINCT s AS node FROM
+                    (SELECT s FROM pairs UNION ALL SELECT t FROM pairs)) n
+            LEFT JOIN (SELECT node, count(*) AS n FROM corners GROUP BY 1) cnt
+                USING (node)
+        """,
+        "kg_region_pagerank": f"""
+            WITH ents AS (
+                SELECT DISTINCT conv_id, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'mentions'
+            ),
+            pairs AS (
+                SELECT a.obj AS s, b.obj AS t, count(*)::DOUBLE AS w
+                FROM ents a JOIN ents b USING (conv_id)
+                WHERE a.obj < b.obj GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT s, t, w FROM pairs
+                UNION ALL SELECT t AS s, s AS t, w FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM edges),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            wdeg AS (SELECT s AS node, sum(w) AS wd FROM edges GROUP BY 1),
+            pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            pr1 AS (
+                SELECT e.t AS node, (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank * e.w / d.wd) AS rank
+                FROM edges e JOIN pr0 p ON p.node = e.s
+                             JOIN wdeg d ON d.node = e.s
+                GROUP BY 1
+            ),
+            pr2 AS (
+                SELECT e.t AS node, (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank * e.w / d.wd) AS rank
+                FROM edges e JOIN pr1 p ON p.node = e.s
+                             JOIN wdeg d ON d.node = e.s
+                GROUP BY 1
+            ),
+            pr3 AS (
+                SELECT e.t AS node, (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank * e.w / d.wd) AS rank
+                FROM edges e JOIN pr2 p ON p.node = e.s
+                             JOIN wdeg d ON d.node = e.s
+                GROUP BY 1
+            ),
+            pr4 AS (
+                SELECT e.t AS node, (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank * e.w / d.wd) AS rank
+                FROM edges e JOIN pr3 p ON p.node = e.s
+                             JOIN wdeg d ON d.node = e.s
+                GROUP BY 1
+            ),
+            pr5 AS (
+                SELECT e.t AS node, (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * sum(p.rank * e.w / d.wd) AS rank
+                FROM edges e JOIN pr4 p ON p.node = e.s
+                             JOIN wdeg d ON d.node = e.s
+                GROUP BY 1
+            )
+            SELECT node, round(rank, 6) AS rank FROM pr5
         """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, role, district_key, town,

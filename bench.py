@@ -46,7 +46,8 @@ BENCH_QUERIES = (
     "embedding_near_dup", "embedding_near_dup_lsh",
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
     "kg_links_explain", "kg_region_degree",
-    "kg_entity_cooccurrence",
+    "kg_entity_cooccurrence", "kg_conv_first_mentions",
+    "kg_cooccur_triangles", "kg_region_pagerank",
 )
 
 

@@ -1,0 +1,115 @@
+"""KG graph analytics over the triple table: per-conversation first-mention
+provenance, co-mention triangle support, and weighted PageRank — each checked
+against an independent single-process formulation built straight from the
+triples parquet (no shared kernels with the distributed pipeline)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def triples_df(ray_session):
+    import pyarrow.parquet as pq
+
+    from address_semantic_search_ray.pipelines import queries as q
+
+    res = q._kg_artifacts(SF_SMALL)
+    return pq.read_table(res["triples"]).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def cooccur_edges(triples_df):
+    """Naive co-mention edge dict {(a, b): n_convs} with a < b."""
+    m = triples_df[triples_df["pred"] == "mentions"][["conv_id", "obj"]] \
+        .drop_duplicates()
+    edges: dict = {}
+    for _, grp in m.groupby("conv_id"):
+        objs = sorted(set(grp["obj"]))
+        for i in range(len(objs)):
+            for j in range(i + 1, len(objs)):
+                k = (objs[i], objs[j])
+                edges[k] = edges.get(k, 0) + 1
+    return edges
+
+
+def test_conv_first_mentions_matches_naive(ray_session, triples_df):
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_conv_first_mentions(SF_SMALL).to_pandas() \
+        .sort_values(["conv_id", "obj"]).reset_index(drop=True)
+    m = triples_df[triples_df["pred"] == "mentions"]
+    want = (m.groupby(["conv_id", "obj"], as_index=False)
+            .agg(first_turn=("turn_idx", "min"),
+                 n_mentions=("turn_idx", "size"))
+            .sort_values(["conv_id", "obj"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got["conv_id"] == want["conv_id"]).all()
+    assert (got["obj"] == want["obj"]).all()
+    assert (got["first_turn"].to_numpy() == want["first_turn"].to_numpy()).all()
+    assert (got["n_mentions"].to_numpy() == want["n_mentions"].to_numpy()).all()
+
+
+def test_cooccur_triangles_matches_naive(ray_session, cooccur_edges):
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_cooccur_triangles(SF_SMALL).to_pandas()
+    got = dict(zip(got["node"], got["n_triangles"]))
+
+    adj: dict = {}
+    for (a, b) in cooccur_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {n: 0 for n in adj}
+    for (a, b) in cooccur_edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # each triangle a<b<c counted once, at edge (a,b)
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    assert got == want
+    assert sum(want.values()) % 3 == 0
+    assert sum(want.values()) > 0, "fixture corpus should contain triangles"
+
+
+def test_region_pagerank_matches_naive(ray_session, cooccur_edges):
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_region_pagerank(SF_SMALL).to_pandas()
+    got_m = dict(zip(got["node"], got["rank"]))
+
+    # independent dict-based weighted power iteration (math, not numpy)
+    nodes = sorted({n for e in cooccur_edges for n in e})
+    n = len(nodes)
+    wdeg = {u: 0.0 for u in nodes}
+    for (a, b), w in cooccur_edges.items():
+        wdeg[a] += float(w)
+        wdeg[b] += float(w)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        acc = {u: 0.0 for u in nodes}
+        for (a, b), w in cooccur_edges.items():
+            acc[b] += rank[a] * float(w) / wdeg[a]
+            acc[a] += rank[b] * float(w) / wdeg[b]
+        rank = {u: (1.0 - 0.85) / n + 0.85 * acc[u] for u in nodes}
+
+    assert set(got_m) == set(nodes)
+    for u in nodes:
+        assert got_m[u] == pytest.approx(rank[u], abs=2e-6)
+    # ranks form a probability distribution (no dangling mass in the
+    # symmetrized co-mention graph)
+    assert math.isclose(sum(rank.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(float(got["rank"].sum()), 1.0, abs_tol=1e-3)
+
+
+def test_cooccur_graph_memo_shared(ray_session):
+    from address_semantic_search_ray.pipelines import queries as q
+
+    e1, p1 = q._cooccur_graph(SF_SMALL)
+    e2, p2 = q._cooccur_graph(SF_SMALL)
+    assert e1 is e2 and p1 == p2
