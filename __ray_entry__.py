@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": q.docs_tfidf,
         "docs_weighted_sample": q.docs_weighted_sample,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
+        "events_user_paths": q.events_user_paths,
+        "orders_rollup": q.orders_rollup,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -718,6 +720,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ents a JOIN ents b USING (conv_id)
             WHERE a.obj < b.obj
             GROUP BY 1, 2
+        """,
+        "events_user_paths": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type
+                FROM events)
+            SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+            FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "orders_rollup": """
+            SELECT coalesce(year, 'ALL') AS year,
+                   coalesce(priority, 'ALL') AS priority,
+                   count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM (SELECT strftime(o_orderdate, '%Y') AS year,
+                         o_orderpriority AS priority, o_totalprice
+                  FROM orders)
+            GROUP BY ROLLUP (year, priority)
         """,
         "kg_conv_first_mentions": f"""
             SELECT conv_id, obj, min(turn_idx)::BIGINT AS first_turn,

@@ -3132,3 +3132,99 @@ def kg_region_pagerank(sf_dir: str, n_iters: int = 5, d: float = 0.85,
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.string()),
         "rank": pa.array(np.round(rank, 6), pa.float64())}))
+
+
+def events_user_paths(sf_dir: str, n_buckets: int = 64):
+    """Event-type transition matrix: for every ordered pair of consecutive
+    events by the same user (total order: ts, then event_id for equal
+    timestamps), the count of (from_type -> to_type) transitions — the
+    Markov-chain summary a product-analytics funnel explorer starts from.
+
+    Scale shape: like sessionize, consecutive-pair semantics need each
+    user's full event sequence co-located, so the ONE shuffle buckets raw
+    rows by ``user_id % n_buckets`` (bounded group count); inside each
+    bucket the lag is a vectorized shift over the (user, ts, event_id)
+    sort, and pair counts pre-aggregate to at most |event_type|^2 rows per
+    bucket before the tiny final groupby-sum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df["_b"] = (df["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(df)
+
+    _pair_schema = pa.schema([("from_type", pa.string()),
+                              ("to_type", pa.string()), ("n", pa.int64())])
+
+    def transitions(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame({"from_type": g["event_type"].shift()[same_user],
+                              "to_type": g["event_type"][same_user]})
+        if pairs.empty:  # all-singleton bucket: keep the schema explicit
+            return _pair_schema.empty_table()
+        part = (pairs.groupby(["from_type", "to_type"], sort=False,
+                              as_index=False).agg(n=("to_type", "size")))
+        part["n"] = part["n"].astype(np.int64)
+        return _arrow(part)
+
+    out = (ds.map_batches(add_bucket, batch_format="pandas")
+           .groupby("_b").map_groups(transitions, batch_format="pandas")
+           .groupby(["from_type", "to_type"])
+           .aggregate(Sum("n", alias_name="n")))
+    return out.map_batches(lambda df: df.assign(n=df["n"].astype("int64")),
+                           batch_format="pandas")
+
+
+def orders_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP (year, priority)): order
+    counts and revenue at the (year, priority), (year), and grand-total
+    levels — the cube slice a reporting layer asks for in one pass.
+
+    Scale shape: ONE distributed groupby at the finest grain (the combiner
+    shape — per-batch partials, then (year, priority) sums), after which
+    the coarser levels fold from that bounded base table in a final
+    map_batches over the collected base (|years| x |priorities| rows).
+    'ALL' marks rolled-up dimensions, matching the SQL oracle's coalesce."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    _base_schema = pa.schema([("year", pa.string()),
+                              ("priority", pa.string()),
+                              ("n", pa.int64()), ("revenue", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _base_schema.empty_table()
+        df = pd.DataFrame({
+            "year": pc.strftime(t.column("o_orderdate"),
+                                format="%Y").to_pandas(),
+            "priority": t.column("o_orderpriority").to_pandas(),
+            "price": t.column("o_totalprice").to_numpy(),
+        })
+        part = (df.groupby(["year", "priority"], sort=False, as_index=False)
+                .agg(n=("price", "size"), revenue=("price", "sum")))
+        part["n"] = part["n"].astype(np.int64)
+        return _arrow(part)
+
+    base = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["year", "priority"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("revenue", alias_name="revenue")))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        # the base grain is bounded (years x priorities), so the two
+        # coarser levels fold locally from ONE block
+        lvl1 = (df.groupby("year", as_index=False)
+                .agg(n=("n", "sum"), revenue=("revenue", "sum")))
+        lvl1["priority"] = "ALL"
+        total = pd.DataFrame([{"year": "ALL", "priority": "ALL",
+                               "n": df["n"].sum(),
+                               "revenue": df["revenue"].sum()}])
+        out = pd.concat([df[["year", "priority", "n", "revenue"]],
+                         lvl1[["year", "priority", "n", "revenue"]], total],
+                        ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
+    return base.repartition(1).map_batches(rollup, batch_format="pandas")

@@ -34,7 +34,7 @@ BENCH_QUERIES = (
     "events_topk_hourly",
     "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
     "events_approx_users_hll", "events_heavy_users_cms",
-    "events_unseen_users_bloom",
+    "events_unseen_users_bloom", "events_user_paths", "orders_rollup",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample", "docs_pack_sequences", "docs_tfidf",
     "docs_weighted_sample",
