@@ -100,7 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q.docs_weighted_sample,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "events_user_paths": q.events_user_paths,
+        "events_value_p95_hourly": q.events_value_p95_hourly,
         "orders_rollup": q.orders_rollup,
+        "docs_bigram_lm": q.docs_bigram_lm,
         "lang_stats": q.lang_stats,
         # similarity search
         "similarity_topk": q.similarity_topk,
@@ -730,6 +732,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
             FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "events_value_p95_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   count(*)::BIGINT AS n,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95
+            FROM events GROUP BY 1, 2
+        """,
+        "docs_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            idxs AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 1)) AS i
+                FROM toks),
+            flat AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idxs),
+            bgc AS (SELECT w1, w2, count(*) AS c FROM flat GROUP BY 1, 2),
+            unic AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY 1)
+            SELECT f.doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(sum(ln(b.c) - ln(u.c1)) / count(*), 6) AS lm_score
+            FROM flat f
+            JOIN bgc b ON b.w1 = f.w1 AND b.w2 = f.w2
+            JOIN unic u ON u.w1 = f.w1
+            GROUP BY 1
         """,
         "orders_rollup": """
             SELECT coalesce(year, 'ALL') AS year,

@@ -3228,3 +3228,138 @@ def orders_rollup(sf_dir: str):
         return out
 
     return base.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+def events_value_p95_hourly(sf_dir: str, n_buckets: int = 64):
+    """Exact per-(event_type, hour) value percentiles (p50/p95, DuckDB
+    ``quantile_disc`` semantics: sorted 1-based index ceil(q*n)) — the
+    latency-style SLO percentile a monitoring rollup publishes per window.
+
+    Scale shape: ``value`` is a continuous double, so the small-int
+    histogram trick behind ``token_quantiles`` does not apply; the exact
+    answer needs each window's values co-located. ONE shuffle buckets rows
+    by crc(event_type, hour) (bounded group count — windows x types);
+    percentiles resolve vectorized inside the bucket. The selected
+    percentile is an actual data value (no interpolation), so results hash
+    bit-exact against the oracle with no rounding discipline needed."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        hour = _hour_key(t.column("ts"))
+        # vectorized (type, hour) bucket: crc only per DISTINCT type, the
+        # hour folds in as its integer epoch-hour (no per-row python hash)
+        et = t.column("event_type").to_pandas()
+        type_crc = {v: zlib.crc32(v.encode()) for v in et.unique()}
+        hour_int = pc.floor_temporal(t.column("ts"), unit="hour") \
+            .cast(pa.int64()).to_numpy() // 3_600_000_000
+        mixed = (hour_int.view(np.uint64) * np.uint64(1315423911)
+                 + et.map(type_crc).to_numpy(dtype=np.int64).view(np.uint64))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour": hour,
+            "value": t.column("value"),
+            "_b": pa.array((mixed % np.uint64(n_buckets)).astype(np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        import math
+
+        rows = []
+        for (etype, hour), sub in g.groupby(["event_type", "hour"],
+                                            sort=False):
+            vals = np.sort(sub["value"].to_numpy())
+            n = len(vals)
+            rows.append({
+                "event_type": etype, "hour": hour, "n": np.int64(n),
+                "p50": vals[max(1, math.ceil(0.5 * n)) - 1],
+                "p95": vals[max(1, math.ceil(0.95 * n)) - 1],
+            })
+        return _arrow(pd.DataFrame(rows))
+
+    return (ds.map_batches(add_keys, batch_format="pyarrow")
+            .groupby("_b").map_groups(fold, batch_format="pandas"))
+
+
+def docs_bigram_lm(sf_dir: str, n_buckets: int = 64):
+    """Corpus bigram language-model score per document: train word-bigram
+    counts on the corpus itself and score each doc by its mean bigram log
+    probability, sum(ln c(w1,w2) - ln c(w1 .)) / n_bigrams — the
+    CCNet/Gopher-style LM quality signal a pretraining filter thresholds
+    (low score = improbable word sequences).
+
+    Scale shape (the ``docs_tfidf`` counts-in-place trick, twice): two
+    streamed passes explode (doc, bigram) / (doc, w1) rows keyed by token
+    bucket; every occurrence of a bigram (resp. context word) lands in its
+    bucket, so the model count is the bucket-local row count — the
+    vocabulary is never broadcast, never driver-resident. Each bucket folds
+    per-doc partial log-prob sums (ONE ``math.log`` per distinct count for
+    libm bit-parity with the oracle's ``ln``), and a final doc-bucketed
+    combine divides. Docs with <2 tokens have no bigrams and are absent,
+    as in the oracle."""
+    import math
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _explode(df: pd.DataFrame, what: str) -> pa.Table:
+        if not len(df):
+            return pa.schema([("doc_id", pa.int64()),
+                              ("key", pa.string()),
+                              ("_kb", pa.int64())]).empty_table()
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        # bigram start positions: every flat position except each doc's
+        # last token (so idx+1 stays inside the same doc)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[np.cumsum(lens) - 1] = False
+        idx = np.nonzero(mask)[0]
+        doc_ids = np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens)[idx]
+        w1 = pa.array(flat[idx], pa.string())
+        if what == "w1":
+            key = w1
+        else:
+            key = pc.binary_join_element_wise(
+                w1, pa.array(flat[idx + 1], pa.string()), "\x01")
+        out = pd.DataFrame({"doc_id": doc_ids,
+                            "key": key.to_numpy(zero_copy_only=False)})
+        out["_kb"] = _crc_bucket(out["key"], n_buckets)
+        return _arrow(out)
+
+    def _fold_partial(g: pd.DataFrame, sign: float, count_n: bool) -> pa.Table:
+        c = g.groupby("key", sort=False)["doc_id"].transform("size") \
+            .to_numpy(dtype=np.int64)
+        log_of = {int(d): math.log(d) for d in np.unique(c)}
+        ln_c = pd.Series(c).map(log_of).to_numpy(dtype=np.float64)
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                             "ln": sign * ln_c})
+        agg = part.groupby("doc_id", as_index=False).agg(
+            s=("ln", "sum"), n=("ln", "size"))
+        if count_n:
+            agg["n"] = agg["n"].astype(np.int64)
+        else:
+            agg["n"] = np.zeros(len(agg), dtype=np.int64)
+        agg["_db"] = (agg["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(agg[["doc_id", "s", "n", "_db"]])
+
+    bg_parts = (docs.map_batches(lambda df: _explode(df, "bg"),
+                                 batch_format="pandas")
+                .groupby("_kb")
+                .map_groups(lambda g: _fold_partial(g, 1.0, True),
+                            batch_format="pandas"))
+    w1_parts = (docs.map_batches(lambda df: _explode(df, "w1"),
+                                 batch_format="pandas")
+                .groupby("_kb")
+                .map_groups(lambda g: _fold_partial(g, -1.0, False),
+                            batch_format="pandas"))
+
+    def finalize(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("doc_id", as_index=False).agg(
+            s=("s", "sum"), n_bigrams=("n", "sum"))
+        out = out[out["n_bigrams"] > 0]
+        out["lm_score"] = np.round(out["s"].to_numpy()
+                                   / out["n_bigrams"].to_numpy(), 6)
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        return _arrow(out[["doc_id", "n_bigrams", "lm_score"]])
+
+    return (bg_parts.union(w1_parts)
+            .groupby("_db").map_groups(finalize, batch_format="pandas"))
