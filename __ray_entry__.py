@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q.knn_graph,
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
+        "embedding_kmeans": q.embedding_kmeans,
         # multimodal plumbing
         "multimodal_image_meta": q.multimodal_image_meta,
         "multimodal_audio_frames": q.multimodal_audio_frames,
@@ -675,6 +676,19 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.e, c.e), 6) AS cos
             FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             WHERE list_dot_product(a.e, c.e) >= 0.35
+        """,
+        "embedding_kmeans": f"""
+            WITH c AS (SELECT cluster, centroid
+                       FROM read_parquet('{SF001_ORACLE}/kmeans_centroids.parquet')),
+                 s AS (SELECT e.vec_id, c.cluster,
+                              list_cosine_similarity(e.embedding::DOUBLE[],
+                                                      c.centroid) AS cos
+                       FROM embeddings e CROSS JOIN c),
+                 r AS (SELECT vec_id, cluster, cos,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY cos DESC, cluster) AS rn
+                       FROM s)
+            SELECT vec_id, cluster, round(cos, 6) AS cos FROM r WHERE rn = 1
         """,
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": f"""

@@ -297,6 +297,53 @@ def write_ivf(embeddings_path: str, out_dir: str, n_queries: int = 5,
     _mark(out_dir, "ivf_probes", fp)
 
 
+def write_kmeans(embeddings_path: str, out_dir: str, k: int = 8,
+                 n_iters: int = 5) -> None:
+    """Final spherical-k-means centroids recomputed single-process: same
+    seed rule (k smallest vec_ids) and per-step rounding as the pipeline,
+    but the per-cluster sums accumulate in a plain sequential per-row loop
+    — the seam this twin verifies is the DISTRIBUTED per-shard partial-sum
+    fold (assignment math is re-verified independently by the DuckDB
+    oracle's argmax-cosine; normalize_rows is shared as spec, like
+    ivf_train). Writes (cluster, centroid) for the SQL side to assign
+    against."""
+    fp = _fingerprint(embeddings_path) + f":{k}:{n_iters}"
+    if _cached(out_dir, "kmeans_centroids", fp):
+        return
+    from ..stages.vector import normalize_rows
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    out_path = os.path.join(out_dir, "kmeans_centroids.parquet")
+    if not len(ids):
+        pq.write_table(pa.table({
+            "cluster": pa.array([], pa.int64()),
+            "centroid": pa.array([], pa.list_(pa.float64()))}), out_path)
+        _mark(out_dir, "kmeans_centroids", fp)
+        return
+    mat = normalize_rows(
+        np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
+    kk = min(k, len(ids))
+    cents = np.round(mat[np.argsort(ids, kind="stable")[:kk]], 7)
+    for _ in range(n_iters):
+        cu = normalize_rows(cents)
+        assign = np.argmax(mat @ cu.T, axis=1)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(kk, dtype=np.int64)
+        for r in range(len(ids)):  # sequential adds: the reference order
+            sums[assign[r]] += mat[r]
+            counts[assign[r]] += 1
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = np.round(normalize_rows(sums[nz] / counts[nz, None]), 7)
+        cents = new
+    pq.write_table(pa.table({
+        "cluster": pa.array(np.arange(kk, dtype=np.int64), pa.int64()),
+        "centroid": pa.array([row.tolist() for row in cents],
+                             pa.list_(pa.float64()))}), out_path)
+    _mark(out_dir, "kmeans_centroids", fp)
+
+
 # -- KG / address-kernel operators ------------------------------------------
 
 def write_kg_oracle(data_dir: str, out_dir: str, region_dict_path: str | None = None) -> None:

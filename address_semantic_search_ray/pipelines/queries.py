@@ -2296,6 +2296,108 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35, n_bits: int = 4
         lambda g: near_dup_pairs_group(g, threshold), batch_format="pandas")
 
 
+def _kmeans_seed(payload, k: int):
+    """Ray task: a shard's k smallest-vec_id unit rows (seed candidates)."""
+    ids, _, mat = payload
+    if not len(ids):
+        return ids, mat
+    o = np.argsort(ids, kind="stable")[:k]
+    return ids[o], mat[o]
+
+
+def _kmeans_shard_partial(payload, cents_unit: np.ndarray):
+    """Ray task: one Lloyd step's partial over one corpus shard — per-
+    cluster unit-vector sums + counts under the shard's argmax-cosine
+    assignment (np.argmax takes the FIRST max: smallest cluster on ties,
+    the oracle's ``ORDER BY cos DESC, cluster`` rule)."""
+    ids, _, mat = payload
+    kk, d = cents_unit.shape
+    if not len(ids):
+        return np.zeros((kk, d), dtype=np.float64), np.zeros(kk, dtype=np.int64)
+    assign = np.argmax(mat @ cents_unit.T, axis=1)
+    sums = np.zeros((kk, mat.shape[1]), dtype=np.float64)
+    np.add.at(sums, assign, mat)
+    return sums, np.bincount(assign, minlength=kk).astype(np.int64)
+
+
+_kmeans_seed_task = ray.remote(_kmeans_seed)
+_kmeans_shard_task = ray.remote(_kmeans_shard_partial)
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, n_iters: int = 5):
+    """Spherical k-means over the embedding table — fixed ``n_iters`` Lloyd
+    steps from a deterministic seed (the k smallest vec_ids' unit vectors)
+    plus the final per-vector assignment ``(vec_id, cluster, cos)`` — the
+    embedding-curation clustering primitive (domain bucketing, diversity
+    sampling, IVF coarse-quantizer training at corpus scale).
+
+    Scale shape: the classic broadcast-iterate split. The corpus sits in
+    plasma ONCE as size-routed shard payloads (``_emb_corpus_refs`` — the
+    same machinery as knn_graph/near-dup), so iterating never re-reads or
+    re-ships it; each Lloyd step broadcasts the tiny rounded k x d centroid
+    matrix and folds one k x (d+1) partial per shard (vector sums +
+    counts) — per-iteration traffic is O(shards * k * d), independent of
+    corpus size. The output assignment STREAMS through one Ray Data
+    map_batches against the final broadcast centroids. Centroids are
+    rounded (7 dp) after every step, the kg_region_pagerank trick that
+    keeps the distributed pairwise-summed fold bit-stable against the
+    sequential naive twin; empty clusters keep their previous centroid.
+    Oracle: DuckDB re-does the final assignment (argmax cosine with the
+    cluster tie-break) against the twin's sequentially-recomputed
+    centroids (``naive.write_kmeans``)."""
+    from ..stages.vector import normalize_rows
+
+    path = _t(sf_dir, "embeddings")
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_kmeans(path, out_dir, k=k, n_iters=n_iters)
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    refs = _emb_corpus_refs(path)
+    seeds = [s for s in ray.get([_kmeans_seed_task.remote(r, k) for r in refs])
+             if len(s[0])]
+    if not seeds:
+        return rd.from_arrow(empty)
+    sid = np.concatenate([s[0] for s in seeds])
+    svec = np.vstack([s[1] for s in seeds])
+    cents = np.round(svec[np.argsort(sid, kind="stable")[:min(k, len(sid))]], 7)
+
+    for _ in range(n_iters):
+        cu = normalize_rows(cents)
+        parts = ray.get([_kmeans_shard_task.remote(r, cu) for r in refs])
+        sums = np.sum([p[0] for p in parts], axis=0)
+        counts = np.sum([p[1] for p in parts], axis=0)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = np.round(normalize_rows(sums[nz] / counts[nz, None]), 7)
+        cents = new
+
+    cents_ref = ray.put(normalize_rows(cents))
+
+    def assign_batch(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        cu = ray.get(cents_ref)
+        mat = normalize_rows(
+            np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ cu.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "cluster": pa.array(best.astype(np.int64), pa.int64()),
+            "cos": pa.array(np.round(sims[np.arange(len(best)), best], 6),
+                            pa.float64()),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(assign_batch, batch_format="pandas")
+
+
 # -- multimodal ------------------------------------------------------------
 
 def multimodal_image_meta(sf_dir: str):

@@ -44,7 +44,7 @@ BENCH_QUERIES = (
     "events_retention",
     "lang_stats", "similarity_topk", "similarity_topk_lsh",
     "similarity_topk_ivf", "knn_graph",
-    "embedding_near_dup", "embedding_near_dup_lsh",
+    "embedding_near_dup", "embedding_near_dup_lsh", "embedding_kmeans",
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
     "kg_links_explain", "kg_region_degree",
     "kg_entity_cooccurrence", "kg_conv_first_mentions",
