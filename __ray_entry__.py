@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events_orders": q.range_join_events_orders,
         "topk_per_group": q.topk_per_group,
         "orders_priority_semijoin": q.orders_priority_semijoin,
+        "orders_shipping_priority": q.orders_shipping_priority,
+        "events_running_total": q.events_running_total,
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
         "events_sessionize": q.events_sessionize,
@@ -163,6 +165,30 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate)
             GROUP BY o_orderpriority
+        """,
+        "orders_shipping_priority": """
+            WITH c AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 r AS (SELECT l_orderkey,
+                              round(sum(l_extendedprice * (1 - l_discount)), 2)
+                                  AS revenue,
+                              o_orderdate, o_orderpriority
+                       FROM orders JOIN c ON o_custkey = c_custkey
+                            JOIN lineitem ON l_orderkey = o_orderkey
+                       WHERE o_orderdate < TIMESTAMP '1998-06-01'
+                         AND l_shipdate > TIMESTAMP '1998-06-01'
+                       GROUP BY 1, 3, 4)
+            SELECT l_orderkey, revenue, epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority
+            FROM r ORDER BY revenue DESC, o_orderdate_us, l_orderkey LIMIT 10
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS seq,
+                   round(sum(value) OVER w, 6) AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "events_hourly": """
             SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

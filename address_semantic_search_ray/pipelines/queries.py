@@ -2955,6 +2955,116 @@ def orders_priority_semijoin(sf_dir: str, n_buckets: int = 32):
                                                    batch_format="pandas"))
 
 
+def _segment_custkeys(path: str, segment: str) -> np.ndarray:
+    """Ray task: the custkey set of one market segment (broadcast side)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["c_custkey", "c_mktsegment"])
+    return np.asarray(
+        t.filter(pc.equal(t.column("c_mktsegment"), segment))
+        .column("c_custkey"), dtype=np.int64)
+
+
+_segment_custkeys_task = ray.remote(_segment_custkeys)
+
+
+def orders_shipping_priority(sf_dir: str, cutoff: str = "1998-06-01",
+                             segment: str = "BUILDING", k: int = 10,
+                             n_buckets: int = 32):
+    """TPC-H Q3-shaped 3-table join: the top-k orders of one customer
+    segment by revenue still unshipped at the cutoff date — the
+    dim-broadcast + large x large co-partition combination in one plan.
+
+    Scale shape: the customer dim reduces to a custkey SET built in a Ray
+    task and broadcast (never through the driver); orders and lineitem
+    prune at the read (column projection + the date filters applied per
+    batch BEFORE any shuffle); lineitem pre-aggregates revenue per
+    orderkey inside ``map_batches`` (the combiner — only fixed-width
+    (key, rev) partials shuffle); ONE orderkey-bucketed co-group joins the
+    sides and keeps its local top-k under the oracle's total order
+    (revenue DESC, orderdate, orderkey), so the final sort+limit sees
+    <= n_buckets * k rows. Revenue rounds to cents like pricing_summary
+    (distributed-sum vs sequential-libm parity margin ~1e9x)."""
+    cut_us = int(pd.Timestamp(cutoff).value // 1000)
+    ckeys_ref = _segment_custkeys_task.remote(_t(sf_dir, "customer"), segment)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+
+    union_empty = pa.table({"key": pa.array([], pa.int64()),
+                            "odate_us": pa.array([], pa.int64()),
+                            "prio": pa.array([], pa.string()),
+                            "rev": pa.array([], pa.float64()),
+                            "side": pa.array([], pa.int64()),
+                            "_b": pa.array([], pa.int64())})
+    out_empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64()),
+                          "o_orderdate_us": pa.array([], pa.int64()),
+                          "o_orderpriority": pa.array([], pa.string())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        odate = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        df = df.assign(odate_us=odate)[odate.to_numpy() < cut_us]
+        if len(df):
+            ck = ray.get(ckeys_ref)
+            df = df[np.isin(df["o_custkey"].to_numpy(dtype=np.int64), ck)]
+        if not len(df):
+            return union_empty
+        key = df["o_orderkey"].to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "odate_us": df["odate_us"].to_numpy(dtype=np.int64),
+            "prio": df["o_orderpriority"],
+            "rev": np.zeros(len(df), dtype=np.float64),
+            "side": np.zeros(len(df), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def item_side(df: pd.DataFrame) -> pa.Table:
+        ship = df["l_shipdate"].astype("datetime64[us]").astype("int64")
+        df = df[ship.to_numpy() > cut_us]
+        if not len(df):
+            return union_empty
+        g = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "rev": df["l_extendedprice"].to_numpy()
+                   * (1.0 - df["l_discount"].to_numpy()),
+        }).groupby("key", as_index=False)["rev"].sum()
+        key = g["key"].to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "odate_us": np.zeros(len(g), dtype=np.int64),
+            "prio": np.full(len(g), "", dtype=object),
+            "rev": g["rev"].to_numpy(dtype=np.float64),
+            "side": np.ones(len(g), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0].drop(columns=["rev"])
+        li = g[g["side"] == 1].groupby("key", as_index=False)["rev"].sum()
+        m = o.merge(li, on="key", how="inner")
+        if not len(m):
+            return out_empty
+        m["revenue"] = m["rev"].round(2)
+        m = m.sort_values(["revenue", "odate_us", "key"],
+                          ascending=[False, True, True]).head(k)
+        return pa.table({
+            "l_orderkey": pa.array(m["key"].to_numpy(dtype=np.int64),
+                                   pa.int64()),
+            "revenue": pa.array(m["revenue"].to_numpy(dtype=np.float64),
+                                pa.float64()),
+            "o_orderdate_us": pa.array(m["odate_us"].to_numpy(dtype=np.int64),
+                                       pa.int64()),
+            "o_orderpriority": pa.array(m["prio"].astype(str), pa.string()),
+        })
+
+    both = orders.map_batches(order_side, batch_format="pandas") \
+        .union(items.map_batches(item_side, batch_format="pandas"))
+    folded = both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+    return folded.sort(["revenue", "o_orderdate_us", "l_orderkey"],
+                       descending=[True, False, False]).limit(k)
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (deterministic tie-break on o_orderkey).
@@ -3234,6 +3344,47 @@ def kg_region_pagerank(sf_dir: str, n_iters: int = 5, d: float = 0.85,
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.string()),
         "rank": pa.array(np.round(rank, 6), pa.float64())}))
+
+
+def events_running_total(sf_dir: str, n_buckets: int = 64):
+    """Per-user running totals: each event's 1-based sequence number and
+    cumulative ``value`` under the (ts, event_id) total order — the
+    ordered-window primitive (SUM/ROW_NUMBER OVER PARTITION ... ROWS
+    UNBOUNDED PRECEDING) next to lag (events_user_paths) and
+    gap-sessionize.
+
+    Scale shape: ONE user-bucketed shuffle co-locates each user's events
+    (``user_id % n_buckets`` keeps the group count bounded, parallelism =
+    buckets); inside a bucket the scan is a vectorized grouped cumsum /
+    cumcount over the (user, ts, event_id) mergesort — no global sort, no
+    driver state, output streams bucket by bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        return _arrow(pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "value": df["value"].to_numpy(dtype=np.float64),
+            "_b": (df["user_id"].to_numpy() % n_buckets).astype(np.int64)}))
+
+    def bucket_scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        return pa.table({
+            "event_id": pa.array(g["event_id"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "seq": pa.array((grp.cumcount() + 1).to_numpy(dtype=np.int64),
+                            pa.int64()),
+            "running_value": pa.array(
+                np.round(grp["value"].cumsum().to_numpy(dtype=np.float64), 6),
+                pa.float64()),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_scan, batch_format="pandas")
 
 
 def events_user_paths(sf_dir: str, n_buckets: int = 64):

@@ -1,0 +1,61 @@
+"""orders_shipping_priority (TPC-H Q3 shape) and events_running_total vs
+plain-pandas recomputations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_shipping_priority_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        orders_shipping_priority,
+    )
+
+    got = orders_shipping_priority(SF_DIR).to_pandas().reset_index(drop=True)
+
+    cust = pq.read_table(SF_DIR + "/customer.parquet").to_pandas()
+    orders = pq.read_table(SF_DIR + "/orders.parquet").to_pandas()
+    items = pq.read_table(SF_DIR + "/lineitem.parquet").to_pandas()
+    cut = pd.Timestamp("1998-06-01")
+    ck = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cut) & orders["o_custkey"].isin(ck)]
+    li = items[items["l_shipdate"] > cut].copy()
+    li["rev"] = li["l_extendedprice"] * (1.0 - li["l_discount"])
+    m = o.merge(li.groupby("l_orderkey", as_index=False)["rev"].sum(),
+                left_on="o_orderkey", right_on="l_orderkey")
+    m["revenue"] = m["rev"].round(2)
+    m["o_orderdate_us"] = m["o_orderdate"].astype("datetime64[us]") \
+        .astype("int64")
+    want = (m.sort_values(["revenue", "o_orderdate_us", "o_orderkey"],
+                          ascending=[False, True, True]).head(10)
+            [["o_orderkey", "revenue", "o_orderdate_us", "o_orderpriority"]]
+            .rename(columns={"o_orderkey": "l_orderkey"})
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+    assert len(got) == 10
+
+
+def test_running_total_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        events_running_total,
+    )
+
+    key = lambda df: df.sort_values(["user_id", "seq"]).reset_index(drop=True)
+    got = key(events_running_total(SF_DIR).to_pandas())
+
+    ev = pq.read_table(SF_DIR + "/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    grp = ev.groupby("user_id", sort=False)
+    want = key(pd.DataFrame({
+        "event_id": ev["event_id"].to_numpy(dtype=np.int64),
+        "user_id": ev["user_id"].to_numpy(dtype=np.int64),
+        "seq": (grp.cumcount() + 1).to_numpy(dtype=np.int64),
+        "running_value": np.round(
+            grp["value"].cumsum().to_numpy(dtype=np.float64), 6),
+    }))
+    assert len(got) == len(ev)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
