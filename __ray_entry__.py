@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_first_mentions": q.kg_conv_first_mentions,
         "kg_cooccur_triangles": q.kg_cooccur_triangles,
         "kg_region_pagerank": q.kg_region_pagerank,
+        "kg_link_prediction": q.kg_link_prediction,
         "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
         "kg_turn_stats": q.kg_turn_stats,
@@ -842,6 +843,38 @@ def oracle_sql() -> dict[str, str]:
                     (SELECT s FROM pairs UNION ALL SELECT t FROM pairs)) n
             LEFT JOIN (SELECT node, count(*) AS n FROM corners GROUP BY 1) cnt
                 USING (node)
+        """,
+        "kg_link_prediction": f"""
+            WITH ents AS (
+                SELECT DISTINCT conv_id, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'mentions'
+            ),
+            pairs AS (
+                SELECT a.obj AS s, b.obj AS t
+                FROM ents a JOIN ents b USING (conv_id)
+                WHERE a.obj < b.obj GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT s, t FROM pairs UNION ALL SELECT t AS s, s AS t FROM pairs
+            ),
+            deg AS (SELECT s AS node, count(*)::DOUBLE AS d
+                    FROM edges GROUP BY 1),
+            cand AS (
+                SELECT e1.t AS u, e2.t AS v, e1.s AS w
+                FROM edges e1 JOIN edges e2 ON e1.s = e2.s AND e1.t < e2.t
+            ),
+            aa AS (
+                SELECT c.u AS obj_a, c.v AS obj_b,
+                       round(sum(1.0 / ln(d.d)), 6) AS aa
+                FROM cand c JOIN deg d ON d.node = c.w
+                WHERE d.d >= 2
+                  AND NOT EXISTS (SELECT 1 FROM pairs p
+                                  WHERE p.s = c.u AND p.t = c.v)
+                GROUP BY 1, 2
+            )
+            SELECT obj_a, obj_b, aa FROM aa
+            ORDER BY aa DESC, obj_a, obj_b LIMIT 20
         """,
         "kg_region_pagerank": f"""
             WITH ents AS (

@@ -3291,6 +3291,144 @@ def kg_cooccur_triangles(sf_dir: str, n_shards: int = 16):
         "n_triangles": pa.array(counts, pa.int64())}))
 
 
+def _aa_payload(payload):
+    """Ray task: derive the Adamic-Adar probe payload from the shared
+    co-mention graph — symmetric CSR (wedge centers need ALL neighbors,
+    not just greater ones), the lexsorted canonical edge keys (existing-
+    edge filter), and 1/ln(degree) per node with the log taken via
+    ``math.log`` per distinct degree (libm bit-parity with DuckDB ``ln``,
+    the docs_tfidf rule). Region-dictionary-bounded; plasma-resident."""
+    import math
+
+    nodes, src, dst, _, _, indptr, gt_dst = payload
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    order = np.argsort(src, kind="stable")
+    sym_dst = dst[order]
+    sym_indptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int64)
+    keys = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(indptr).astype(np.int64)) * n + gt_dst
+    invlog = np.zeros(n, dtype=np.float64)
+    for d in np.unique(deg):
+        if d >= 2:
+            invlog[deg == d] = 1.0 / math.log(float(d))
+    return sym_indptr, sym_dst, keys, invlog, n
+
+
+_aa_payload_task = ray.remote(_aa_payload)
+
+
+def _aa_shard(aa, lo: int, hi: int):
+    """Ray task: Adamic-Adar wedge partials for center nodes [lo, hi).
+    Every center w contributes 1/ln(deg(w)) to each unordered pair of its
+    neighbors; pairs that are already edges are dropped shard-side via one
+    searchsorted probe. The per-center loop is bounded by the region
+    dictionary; the pair expansion inside it is vectorized
+    (``triu_indices``), and partials pre-aggregate per shard before the
+    pair-keyed shuffle."""
+    sym_indptr, sym_dst, keys, invlog, n = aa
+    us, vs, ws = [], [], []
+    for w in range(lo, hi):
+        nb = sym_dst[sym_indptr[w]:sym_indptr[w + 1]]
+        if len(nb) < 2 or invlog[w] == 0.0:
+            continue
+        nb = np.sort(nb)
+        iu, iv = np.triu_indices(len(nb), 1)
+        us.append(nb[iu])
+        vs.append(nb[iv])
+        ws.append(np.full(len(iu), invlog[w], dtype=np.float64))
+    if not us:
+        return pa.table({"pair_key": pa.array([], pa.int64()),
+                         "aa": pa.array([], pa.float64())})
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    score = np.concatenate(ws)
+    pair = u * n + v
+    pos = np.searchsorted(keys, pair)
+    is_edge = (pos < len(keys)) & \
+        (keys[np.minimum(pos, len(keys) - 1)] == pair)
+    pair, score = pair[~is_edge], score[~is_edge]
+    uniq, inv = np.unique(pair, return_inverse=True)
+    return pa.table({
+        "pair_key": pa.array(uniq, pa.int64()),
+        "aa": pa.array(np.bincount(inv, weights=score,
+                                   minlength=len(uniq)), pa.float64())})
+
+
+_aa_shard_task = ray.remote(_aa_shard)
+
+
+def kg_link_prediction(sf_dir: str, k: int = 20, n_shards: int = 16):
+    """Adamic-Adar link prediction on the co-mention graph: the top-k
+    NON-adjacent entity pairs by sum(1/ln(deg(w))) over common neighbors w
+    — the classic missing-edge score a KG uses to propose new relations
+    for review.
+
+    Scale shape: the graph payload is computed once and shared
+    (``_cooccur_graph``); a derivation task adds the symmetric CSR +
+    edge-key filter + per-node 1/ln(deg) to plasma; wedge expansion shards
+    across center-node ranges as Ray tasks whose pair partials become a
+    Dataset via ``from_arrow_refs`` (never through the driver), feeding
+    ONE pair-keyed groupby-sum and a final sort over the aggregated pair
+    table. Oracle = the same wedge sum as a DuckDB self-join over the
+    naive twin's triples (round-6 like pagerank; ``ln`` via libm both
+    sides)."""
+    _, payload_ref = _cooccur_graph(sf_dir)
+    nodes = ray.get(payload_ref)[0]
+    n = len(nodes)
+    empty = pa.table({"obj_a": pa.array([], pa.string()),
+                      "obj_b": pa.array([], pa.string()),
+                      "aa": pa.array([], pa.float64())})
+    if n == 0:
+        return rd.from_arrow(empty)
+    aa_ref = _aa_payload_task.remote(payload_ref)
+    bounds = np.linspace(0, n, min(n_shards, n) + 1, dtype=np.int64)
+    parts = rd.from_arrow_refs(
+        [_aa_shard_task.remote(aa_ref, int(lo), int(hi))
+         for lo, hi in zip(bounds[:-1], bounds[1:])])
+    n_buckets = 32
+
+    def add_bucket(tb: pa.Table) -> pa.Table:
+        b = tb.column("pair_key").to_numpy() % n_buckets
+        return tb.append_column("_b", pa.array(b, pa.int64()))
+
+    # a bare groupby(pair_key).aggregate(Sum) measured 800+ core-seconds on
+    # the ~7M partial rows (named-aggregate overhead per distinct key);
+    # the coarse-bucket map_groups shape does the same sum vectorized in
+    # ~1s. Each pair lives in exactly ONE bucket, so the per-bucket head-k
+    # under the oracle's total order is EXACT (pair_key ASC == (obj_a,
+    # obj_b) lexicographic, since np.unique sorted the node array).
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("pair_key", as_index=False)["aa"].sum()
+        s["aa"] = s["aa"].round(6)
+        s = s.sort_values(["aa", "pair_key"],
+                          ascending=[False, True]).head(k)
+        return pa.table({
+            "pair_key": pa.array(s["pair_key"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "aa": pa.array(s["aa"].to_numpy(dtype=np.float64),
+                           pa.float64())})
+
+    folded = parts.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_topk, batch_format="pandas")
+    nodes_ref = ray.put(nodes)
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        names = ray.get(nodes_ref)
+        key = df["pair_key"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "obj_a": pa.array(names[key // n], pa.string()),
+            "obj_b": pa.array(names[key % n], pa.string()),
+            "aa": pa.array(df["aa"].to_numpy(dtype=np.float64),
+                           pa.float64())})
+
+    return folded.map_batches(finalize, batch_format="pandas") \
+        .sort(["aa", "obj_a", "obj_b"], descending=[True, False, False]) \
+        .limit(k)
+
+
 def _pagerank_shard(payload, rank, lo: int, hi: int):
     """Ray task: destination contributions rank[src] * w / wdeg[src] for
     the symmetrized edge slice [lo, hi), folded into a dense node-sized

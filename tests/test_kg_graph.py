@@ -113,3 +113,35 @@ def test_cooccur_graph_memo_shared(ray_session):
     e1, p1 = q._cooccur_graph(SF_SMALL)
     e2, p2 = q._cooccur_graph(SF_SMALL)
     assert e1 is e2 and p1 == p2
+
+
+def test_link_prediction_matches_naive(ray_session, cooccur_edges):
+    """Adamic-Adar top-k vs a dict-based wedge sum (math.log, plain loops)."""
+    from address_semantic_search_ray.pipelines import queries as q
+
+    k = 20
+    got = q.kg_link_prediction(SF_SMALL, k=k).to_pandas()
+
+    adj: dict = {}
+    for (a, b) in cooccur_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    aa: dict = {}
+    for w, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        inv = 1.0 / math.log(len(nbrs))
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                pair = (ns[i], ns[j])
+                if pair in cooccur_edges:
+                    continue
+                aa[pair] = aa.get(pair, 0.0) + inv
+    want = sorted(((round(v, 6), a, b) for (a, b), v in aa.items()),
+                  key=lambda t: (-t[0], t[1], t[2]))[:k]
+
+    assert len(got) == min(k, len(aa))
+    for row, (v, a, b) in zip(got.itertuples(index=False), want):
+        assert (row.obj_a, row.obj_b) == (a, b)
+        assert row.aa == pytest.approx(v, abs=2e-6)
