@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.stratified_sample,
         "docs_pack_sequences": q.docs_pack_sequences,
         "docs_tfidf": q.docs_tfidf,
+        "docs_postings": q.docs_postings,
+        "text_normalize": q.text_normalize,
         "docs_weighted_sample": q.docs_weighted_sample,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "events_user_paths": q.events_user_paths,
@@ -466,6 +468,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, w, rank::BIGINT AS rank FROM r WHERE rank <= 20
+        """,
+        "docs_postings": """
+            WITH f AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS tf, min(doc_id) AS first_doc
+            FROM f WHERE term <> '' GROUP BY term
+        """,
+        "text_normalize": """
+            WITH n AS (SELECT doc_id,
+                              nfc_normalize(lower(regexp_replace(
+                                  regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+', ' ', 'g'))) AS norm_text
+                       FROM documents)
+            SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
+            FROM n
         """,
         "docs_tfidf": """
             WITH toks AS (

@@ -1656,6 +1656,91 @@ def docs_weighted_sample(sf_dir: str, k: int = 20):
     return rd.from_pandas(final(merged))
 
 
+def docs_postings(sf_dir: str, n_buckets: int = 64):
+    """Inverted-index build over the documents table: per term, document
+    frequency, total term frequency, and the first posting (min doc_id) —
+    the index construction primitive behind retrieval / dedup-prefilter
+    stages.
+
+    Scale shape: docs_tfidf's counts-in-place trick — one corpus pass
+    explodes exact per-batch (doc_id, term, tf) rows (a doc lives wholly
+    in one row), ONE crc(term) bucket shuffle co-locates each term's
+    postings, and df/tf/first resolve vectorized inside the bucket (rows
+    per term == df, no second distinct pass, no vocabulary broadcast)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_tf(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "_tb": pa.array([], pa.int64())})
+        toks = df["text"].str.split(" ")
+        flat = pd.DataFrame({
+            "doc_id": df["doc_id"].repeat(toks.str.len())
+                      .to_numpy(dtype=np.int64),
+            "term": np.concatenate(toks.to_numpy()),
+        })
+        flat = flat[flat["term"] != ""]
+        tf = flat.groupby(["doc_id", "term"], sort=False, as_index=False) \
+            .agg(tf=("term", "size"))
+        tf["tf"] = tf["tf"].astype(np.int64)
+        tf["_tb"] = _crc_bucket(tf["term"], n_buckets)
+        return _arrow(tf)
+
+    def fold_bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("term", as_index=False).agg(
+            df=("doc_id", "size"), tf=("tf", "sum"),
+            first_doc=("doc_id", "min"))
+        return pa.table({
+            "term": pa.array(s["term"].to_numpy(), pa.string()),
+            "df": pa.array(s["df"].to_numpy(dtype=np.int64), pa.int64()),
+            "tf": pa.array(s["tf"].to_numpy(dtype=np.int64), pa.int64()),
+            "first_doc": pa.array(s["first_doc"].to_numpy(dtype=np.int64),
+                                  pa.int64())})
+
+    return docs.map_batches(explode_tf, batch_format="pandas") \
+        .groupby("_tb").map_groups(fold_bucket, batch_format="pandas")
+
+
+def text_normalize(sf_dir: str):
+    """Unicode canonicalization scrub — trim, collapse whitespace runs,
+    NFC-normalize, lowercase — the first stage of every LLM text-prep
+    pipeline (dedup keys and fingerprints are only stable after it).
+
+    Vectorized Arrow kernels on zero-copy pyarrow batches (RE2
+    ``replace_substring_regex`` + ``utf8_lower``), trivially parallel, no
+    shuffle; engine parity with the oracle by construction (DuckDB
+    regexp_replace / lower are the same RE2 + Unicode algorithms — the
+    text_scrub_pii argument). NFC runs LAST: pyarrow 16's
+    ``utf8_normalize(form="NFC")`` measurably emits DECOMPOSED output
+    ('Á' -> 'A'+U+0301), so composition goes through ``unicodedata`` —
+    only for the non-ASCII minority (the ASCII fast path, detected
+    vectorized via utf8_length == binary_length, is NFC-invariant)."""
+    import unicodedata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(tb: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(tb.column("text"),
+                                       r"^\s+|\s+$", "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_lower(t)
+        non_ascii = pc.not_equal(pc.utf8_length(t), pc.binary_length(t))
+        if pc.any(non_ascii).as_py():
+            vals = t.to_pylist()
+            mask = non_ascii.to_pylist() if hasattr(non_ascii, "to_pylist") \
+                else [non_ascii.as_py()]
+            t = pa.array([unicodedata.normalize("NFC", v) if m else v
+                          for v, m in zip(vals, mask)], pa.string())
+        return pa.table({"doc_id": tb.column("doc_id"),
+                         "norm_text": t,
+                         "n_chars_norm": pc.cast(pc.utf8_length(t),
+                                                 pa.int64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def docs_tfidf(sf_dir: str, k: int = 3, n_buckets: int = 64):
     """Per-document top-k TF-IDF terms over the documents table (the
     keyword-extraction / relevance-weighting primitive; tf = in-doc token

@@ -39,6 +39,7 @@ BENCH_QUERIES = (
     "events_value_p95_hourly", "docs_bigram_lm",
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample", "docs_pack_sequences", "docs_tfidf",
+    "docs_postings", "text_normalize",
     "docs_weighted_sample",
     "text_token_count", "text_quality",
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
