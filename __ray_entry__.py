@@ -886,7 +886,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.u AS obj_a, c.v AS obj_b,
                        round(sum(1.0 / ln(d.d)), 6) AS aa
                 FROM cand c JOIN deg d ON d.node = c.w
-                WHERE d.d >= 2
+                WHERE d.d >= 2 AND d.d <= 2000
                   AND NOT EXISTS (SELECT 1 FROM pairs p
                                   WHERE p.s = c.u AND p.t = c.v)
                 GROUP BY 1, 2

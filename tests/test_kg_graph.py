@@ -128,7 +128,7 @@ def test_link_prediction_matches_naive(ray_session, cooccur_edges):
         adj.setdefault(b, set()).add(a)
     aa: dict = {}
     for w, nbrs in adj.items():
-        if len(nbrs) < 2:
+        if len(nbrs) < 2 or len(nbrs) > 2000:  # hub cut, no-op at this scale
             continue
         inv = 1.0 / math.log(len(nbrs))
         ns = sorted(nbrs)
