@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conv_first_mentions": q.kg_conv_first_mentions,
         "kg_cooccur_triangles": q.kg_cooccur_triangles,
         "kg_region_pagerank": q.kg_region_pagerank,
+        "kg_community_lpa": q.kg_community_lpa,
         "kg_link_prediction": q.kg_link_prediction,
         "kg_links_explain": q.kg_links_explain,
         "kg_idf": q.kg_idf,
@@ -949,6 +950,44 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             )
             SELECT node, round(rank, 6) AS rank FROM pr5
+        """,
+        "kg_community_lpa": f"""
+            WITH ents AS (
+                SELECT DISTINCT conv_id, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'mentions'
+            ),
+            pairs AS (
+                SELECT a.obj AS s, b.obj AS t, count(*)::DOUBLE AS w
+                FROM ents a JOIN ents b USING (conv_id)
+                WHERE a.obj < b.obj GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT s, t, w FROM pairs
+                UNION ALL SELECT t AS s, s AS t, w FROM pairs
+            ),
+            lp0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),
+            lp1 AS (
+                SELECT node, label FROM (
+                    SELECT e.t AS node, l.label AS label,
+                           row_number() OVER (
+                               PARTITION BY e.t
+                               ORDER BY sum(e.w) DESC, l.label) AS rn
+                    FROM edges e JOIN lp0 l ON l.node = e.s
+                    GROUP BY e.t, l.label
+                ) WHERE rn = 1
+            ),
+            lp2 AS (
+                SELECT node, label FROM (
+                    SELECT e.t AS node, l.label AS label,
+                           row_number() OVER (
+                               PARTITION BY e.t
+                               ORDER BY sum(e.w) DESC, l.label) AS rn
+                    FROM edges e JOIN lp1 l ON l.node = e.s
+                    GROUP BY e.t, l.label
+                ) WHERE rn = 1
+            )
+            SELECT node, label AS community FROM lp2
         """,
         "kg_mentions": f"""
             SELECT conv_id, turn_idx, mention_idx, role, district_key, town,

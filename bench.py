@@ -50,7 +50,8 @@ BENCH_QUERIES = (
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
     "kg_links_explain", "kg_region_degree",
     "kg_entity_cooccurrence", "kg_conv_first_mentions",
-    "kg_cooccur_triangles", "kg_region_pagerank", "kg_link_prediction",
+    "kg_cooccur_triangles", "kg_region_pagerank", "kg_community_lpa",
+    "kg_link_prediction",
 )
 
 

@@ -115,6 +115,34 @@ def test_cooccur_graph_memo_shared(ray_session):
     assert e1 is e2 and p1 == p2
 
 
+def test_community_lpa_matches_naive(ray_session, cooccur_edges):
+    """2-round synchronous LPA vs a dict-based twin (plain loops, min-label
+    tie-break), plus structural sanity: communities are non-trivial."""
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_community_lpa(SF_SMALL).to_pandas()
+    got_m = dict(zip(got["node"], got["community"]))
+
+    adj: dict = {}
+    for (a, b), w in cooccur_edges.items():
+        adj.setdefault(a, {})[b] = float(w)
+        adj.setdefault(b, {})[a] = float(w)
+    labels = {u: u for u in adj}
+    for _ in range(2):
+        new = {}
+        for u, nbrs in adj.items():
+            votes: dict = {}
+            for v, w in nbrs.items():
+                votes[labels[v]] = votes.get(labels[v], 0.0) + w
+            best = min(votes, key=lambda l: (-votes[l], l))
+            new[u] = best
+        labels = new
+
+    assert got_m == labels
+    n_comm = len(set(labels.values()))
+    assert 1 < n_comm < len(labels), "LPA should find non-trivial communities"
+
+
 def test_link_prediction_matches_naive(ray_session, cooccur_edges):
     """Adamic-Adar top-k vs a dict-based wedge sum (math.log, plain loops)."""
     from address_semantic_search_ray.pipelines import queries as q
