@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q.topk_per_group,
         "orders_priority_semijoin": q.orders_priority_semijoin,
         "orders_shipping_priority": q.orders_shipping_priority,
+        "nation_market_share": q.nation_market_share,
         "events_running_total": q.events_running_total,
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
@@ -185,6 +186,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, revenue, epoch_us(o_orderdate) AS o_orderdate_us,
                    o_orderpriority
             FROM r ORDER BY revenue DESC, o_orderdate_us, l_orderkey LIMIT 10
+        """,
+        "nation_market_share": """
+            WITH ck AS (
+                SELECT c_custkey FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'
+            ),
+            sn AS (
+                SELECT s_suppkey, n_name FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ),
+            base AS (
+                SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                       sn.n_name AS supp_nation,
+                       l.l_extendedprice * (1 - l.l_discount) AS vol
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN sn ON l.l_suppkey = sn.s_suppkey
+                WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                      WHERE p_type = 'PROMO')
+                  AND o.o_custkey IN (SELECT c_custkey FROM ck)
+            )
+            SELECT o_year,
+                   round(round(sum(CASE WHEN supp_nation = 'NATION_12'
+                                        THEN vol ELSE 0 END), 2)
+                         / round(sum(vol), 2), 6) AS mkt_share
+            FROM base GROUP BY o_year
         """,
         "events_running_total": """
             SELECT event_id, user_id,

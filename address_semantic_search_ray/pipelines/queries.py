@@ -3150,6 +3150,150 @@ def orders_shipping_priority(sf_dir: str, cutoff: str = "1998-06-01",
                        descending=[True, False, False]).limit(k)
 
 
+def _market_share_dims(customer_path: str, nation_path: str,
+                       region_path: str, supplier_path: str, part_path: str,
+                       region_name: str, part_type: str):
+    """Ray task: the three broadcast small sides of the Q8 plan — custkeys
+    whose nation sits in ``region_name``, the suppkey -> nation-name map,
+    and the partkeys of ``part_type``. Dim tables only; the driver holds
+    one ref, never the rows."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(nation_path).to_pandas()
+    reg = pq.read_table(region_path).to_pandas()
+    rkey = set(reg[reg["r_name"] == region_name]["r_regionkey"])
+    nkeys = set(nat[nat["n_regionkey"].isin(rkey)]["n_nationkey"])
+    cust = pq.read_table(customer_path,
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = np.sort(cust[cust["c_nationkey"].isin(nkeys)]["c_custkey"]
+                    .to_numpy(dtype=np.int64))
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp_nation = {int(s): nname[k] for s, k in
+                   zip(supp["s_suppkey"], supp["s_nationkey"])}
+    part = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+    pkeys = np.sort(np.asarray(
+        part.filter(pc.equal(part.column("p_type"), part_type))
+        .column("p_partkey"), dtype=np.int64))
+    return ckeys, supp_nation, pkeys
+
+
+_market_share_dims_task = ray.remote(_market_share_dims)
+
+
+def nation_market_share(sf_dir: str, region_name: str = "ASIA",
+                        target_nation: str = "NATION_12",
+                        part_type: str = "PROMO", n_buckets: int = 32):
+    """TPC-H Q8-shaped 6-table join: per order year, ``target_nation``'s
+    share of revenue for ``part_type`` parts sold to customers in
+    ``region_name`` — the deepest dim-join pattern in the relational
+    family (region -> nation -> customer gating orders; supplier -> nation
+    labeling lineitem; part filtering it).
+
+    Scale shape: every dim collapses to a broadcast payload built in ONE
+    Ray task (custkey set, suppkey->nation map, partkey set); orders and
+    lineitem prune at the read and filter per batch BEFORE the single
+    orderkey-bucketed co-group; lineitem pre-aggregates (orderkey, nation)
+    volume partials inside ``map_batches``, so only fixed-width partials
+    shuffle; each bucket folds to (year, nation) partials and the final
+    fold is a driver-side sum over <= buckets * years * nations rows
+    (explicitly bounded). Numerator and denominator round to cents before
+    the 6-dp ratio, the pricing_summary distributed-sum parity rule."""
+    dims_ref = _market_share_dims_task.remote(
+        _t(sf_dir, "customer"), _t(sf_dir, "nation"), _t(sf_dir, "region"),
+        _t(sf_dir, "supplier"), _t(sf_dir, "part"), region_name, part_type)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_partkey", "l_suppkey",
+                   "l_extendedprice", "l_discount"])
+
+    union_empty = pa.table({"key": pa.array([], pa.int64()),
+                            "o_year": pa.array([], pa.int64()),
+                            "supp_nation": pa.array([], pa.string()),
+                            "vol": pa.array([], pa.float64()),
+                            "side": pa.array([], pa.int64()),
+                            "_b": pa.array([], pa.int64())})
+    part_empty = pa.table({"o_year": pa.array([], pa.int64()),
+                           "supp_nation": pa.array([], pa.string()),
+                           "vol": pa.array([], pa.float64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return union_empty
+        ckeys, _, _ = ray.get(dims_ref)
+        keep = np.isin(df["o_custkey"].to_numpy(dtype=np.int64), ckeys)
+        df = df[keep]
+        if not len(df):
+            return union_empty
+        key = df["o_orderkey"].to_numpy(dtype=np.int64)
+        year = df["o_orderdate"].astype("datetime64[us]") \
+            .dt.year.to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "o_year": year,
+            "supp_nation": np.full(len(df), "", dtype=object),
+            "vol": np.zeros(len(df), dtype=np.float64),
+            "side": np.zeros(len(df), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def item_side(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return union_empty
+        _, supp_nation, pkeys = ray.get(dims_ref)
+        keep = np.isin(df["l_partkey"].to_numpy(dtype=np.int64), pkeys)
+        df = df[keep]
+        if not len(df):
+            return union_empty
+        g = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "supp_nation": df["l_suppkey"].map(supp_nation),
+            "vol": df["l_extendedprice"].to_numpy()
+                   * (1.0 - df["l_discount"].to_numpy()),
+        }).groupby(["key", "supp_nation"], as_index=False)["vol"].sum()
+        key = g["key"].to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "o_year": np.zeros(len(g), dtype=np.int64),
+            "supp_nation": g["supp_nation"],
+            "vol": g["vol"].to_numpy(dtype=np.float64),
+            "side": np.ones(len(g), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0][["key", "o_year"]]
+        li = g[g["side"] == 1].groupby(["key", "supp_nation"],
+                                       as_index=False)["vol"].sum()
+        m = li.merge(o, on="key", how="inner")
+        if not len(m):
+            return part_empty
+        p = m.groupby(["o_year", "supp_nation"], as_index=False)["vol"].sum()
+        return pa.table({
+            "o_year": pa.array(p["o_year"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "supp_nation": pa.array(p["supp_nation"].astype(str),
+                                    pa.string()),
+            "vol": pa.array(p["vol"].to_numpy(dtype=np.float64),
+                            pa.float64())})
+
+    parts = orders.map_batches(order_side, batch_format="pandas") \
+        .union(items.map_batches(item_side, batch_format="pandas")) \
+        .groupby("_b").map_groups(join_bucket, batch_format="pandas") \
+        .to_pandas()  # bounded: <= n_buckets * years * nations rows
+    if not len(parts):
+        return rd.from_arrow(pa.table({"o_year": pa.array([], pa.int64()),
+                                       "mkt_share": pa.array([], pa.float64())}))
+    agg = parts.groupby(["o_year", "supp_nation"],
+                        as_index=False)["vol"].sum()
+    num = agg[agg["supp_nation"] == target_nation] \
+        .groupby("o_year")["vol"].sum().round(2)
+    den = agg.groupby("o_year")["vol"].sum().round(2)
+    share = (num.reindex(den.index, fill_value=0.0) / den).round(6)
+    return rd.from_arrow(pa.table({
+        "o_year": pa.array(den.index.to_numpy(dtype=np.int64), pa.int64()),
+        "mkt_share": pa.array(share.to_numpy(dtype=np.float64),
+                              pa.float64())}))
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (deterministic tie-break on o_orderkey).

@@ -59,3 +59,45 @@ def test_running_total_matches_pandas(ray_session):
     }))
     assert len(got) == len(ev)
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_nation_market_share_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        nation_market_share,
+    )
+
+    got = nation_market_share(SF_DIR).to_pandas() \
+        .sort_values("o_year").reset_index(drop=True)
+
+    cust = pq.read_table(SF_DIR + "/customer.parquet").to_pandas()
+    nat = pq.read_table(SF_DIR + "/nation.parquet").to_pandas()
+    reg = pq.read_table(SF_DIR + "/region.parquet").to_pandas()
+    supp = pq.read_table(SF_DIR + "/supplier.parquet").to_pandas()
+    part = pq.read_table(SF_DIR + "/part.parquet").to_pandas()
+    orders = pq.read_table(SF_DIR + "/orders.parquet").to_pandas()
+    items = pq.read_table(SF_DIR + "/lineitem.parquet").to_pandas()
+
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    ck = set(cust.loc[cust["c_nationkey"].isin(nk), "c_custkey"])
+    pk = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    sn = dict(zip(supp["s_suppkey"],
+                  supp["s_nationkey"].map(
+                      dict(zip(nat["n_nationkey"], nat["n_name"])))))
+
+    li = items[items["l_partkey"].isin(pk)].copy()
+    li["supp_nation"] = li["l_suppkey"].map(sn)
+    li["vol"] = li["l_extendedprice"] * (1.0 - li["l_discount"])
+    o = orders[orders["o_custkey"].isin(ck)].copy()
+    o["o_year"] = o["o_orderdate"].dt.year.astype("int64")
+    m = li.merge(o[["o_orderkey", "o_year"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    den = m.groupby("o_year")["vol"].sum().round(2)
+    num = m[m["supp_nation"] == "NATION_12"] \
+        .groupby("o_year")["vol"].sum().round(2)
+    want = (num.reindex(den.index, fill_value=0.0) / den).round(6)
+
+    assert list(got["o_year"]) == list(want.index)
+    assert np.allclose(got["mkt_share"].to_numpy(), want.to_numpy(),
+                       atol=1e-9)
+    assert (got["mkt_share"] > 0).any()
