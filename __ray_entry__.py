@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q.similarity_topk,
         "similarity_topk_lsh": q.similarity_topk_lsh,
         "similarity_topk_ivf": q.similarity_topk_ivf,
+        "similarity_topk_pq": q.similarity_topk_pq,
         "knn_graph": q.knn_graph,
         "embedding_near_dup": q.embedding_near_dup,
         "embedding_near_dup_lsh": q.embedding_near_dup_lsh,
@@ -739,6 +740,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, vec_id, round(cos, 6) AS cos, rank
             FROM r WHERE rank <= 5
+        """,
+        "similarity_topk_pq": f"""
+            SELECT query_id, vec_id, score, rank FROM (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM read_parquet('{SF001_ORACLE}/pq_scores.parquet')
+                WHERE vec_id <> query_id
+            ) WHERE rank <= 5
         """,
         "embedding_near_dup_lsh": f"""
             WITH b AS (SELECT vec_id, bucket

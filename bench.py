@@ -45,7 +45,7 @@ BENCH_QUERIES = (
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
     "events_retention",
     "lang_stats", "similarity_topk", "similarity_topk_lsh",
-    "similarity_topk_ivf", "knn_graph",
+    "similarity_topk_ivf", "similarity_topk_pq", "knn_graph",
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_kmeans",
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
     "kg_links_explain", "kg_region_degree",
