@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_semijoin": q.orders_priority_semijoin,
         "orders_shipping_priority": q.orders_shipping_priority,
         "nation_market_share": q.nation_market_share,
+        "local_supplier_volume": q.local_supplier_volume,
+        "supplier_revenue_top": q.supplier_revenue_top,
         "events_running_total": q.events_running_total,
         "events_hourly": q.events_hourly,
         "events_hopping": q.events_hopping,
@@ -215,6 +217,39 @@ def oracle_sql() -> dict[str, str]:
                                         THEN vol ELSE 0 END), 2)
                          / round(sum(vol), 2), 6) AS mkt_share
             FROM base GROUP BY o_year
+        """,
+        "local_supplier_volume": """
+            WITH nk AS (
+                SELECT n_nationkey, n_name FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            )
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nk n ON c.c_nationkey = n.n_nationkey
+                     AND s.s_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "supplier_revenue_top": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "events_running_total": """
             SELECT event_id, user_id,

@@ -3340,6 +3340,214 @@ def nation_market_share(sf_dir: str, region_name: str = "ASIA",
                               pa.float64())}))
 
 
+def _supplier_nation_dims(supplier_path: str, customer_path: str,
+                          nation_path: str, region_path: str,
+                          region_name: str):
+    """Ray task: Q5's broadcast small sides — suppkey -> nationkey and
+    custkey -> nationkey maps RESTRICTED to ``region_name``'s nations,
+    plus nationkey -> name for the in-region nations."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(nation_path).to_pandas()
+    reg = pq.read_table(region_path).to_pandas()
+    rkey = set(reg[reg["r_name"] == region_name]["r_regionkey"])
+    nk = nat[nat["n_regionkey"].isin(rkey)]
+    nkeys = set(nk["n_nationkey"])
+    nname = dict(zip(nk["n_nationkey"], nk["n_name"]))
+    supp = pq.read_table(supplier_path,
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nkeys)]
+    supp_nat = dict(zip(supp["s_suppkey"].astype(int),
+                        supp["s_nationkey"].astype(int)))
+    cust = pq.read_table(customer_path,
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nkeys)]
+    cust_nat = dict(zip(cust["c_custkey"].astype(int),
+                        cust["c_nationkey"].astype(int)))
+    return supp_nat, cust_nat, nname
+
+
+_supplier_nation_dims_task = ray.remote(_supplier_nation_dims)
+
+
+def local_supplier_volume(sf_dir: str, region_name: str = "ASIA",
+                          start: str = "1996-01-01", end: str = "1997-01-01",
+                          n_buckets: int = 32):
+    """TPC-H Q5 shape: revenue per nation from orders where the CUSTOMER
+    and the SUPPLIER sit in the same ``region_name`` nation — the join
+    with an equality constraint BETWEEN two dimension paths, which no
+    single broadcast filter can express.
+
+    Scale shape: both dim paths collapse to broadcast maps built in one
+    Ray task (custkey -> nationkey and suppkey -> nationkey, already
+    region-restricted); orders and lineitem prune at the read, filter and
+    label per batch, lineitem pre-aggregates (orderkey, supp-nation)
+    volume partials; ONE orderkey-bucketed co-group applies the
+    cust-nation == supp-nation constraint and folds (nation, vol)
+    partials, so the final fold is a driver-side sum over
+    <= buckets * nations rows. Revenue rounds to cents (the
+    pricing_summary distributed-sum parity rule)."""
+    dims_ref = _supplier_nation_dims_task.remote(
+        _t(sf_dir, "supplier"), _t(sf_dir, "customer"), _t(sf_dir, "nation"),
+        _t(sf_dir, "region"), region_name)
+    start_us = int(pd.Timestamp(start).value // 1000)
+    end_us = int(pd.Timestamp(end).value // 1000)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+
+    union_empty = pa.table({"key": pa.array([], pa.int64()),
+                            "nat": pa.array([], pa.int64()),
+                            "vol": pa.array([], pa.float64()),
+                            "side": pa.array([], pa.int64()),
+                            "_b": pa.array([], pa.int64())})
+    part_empty = pa.table({"nat": pa.array([], pa.int64()),
+                           "vol": pa.array([], pa.float64())})
+
+    def order_side(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return union_empty
+        odate = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        df = df[(odate.to_numpy() >= start_us) & (odate.to_numpy() < end_us)]
+        if not len(df):
+            return union_empty
+        _, cust_nat, _ = ray.get(dims_ref)
+        nat = df["o_custkey"].map(cust_nat)
+        keep = nat.notna().to_numpy()
+        df, nat = df[keep], nat[keep]
+        if not len(df):
+            return union_empty
+        key = df["o_orderkey"].to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "nat": nat.to_numpy(dtype=np.int64),
+            "vol": np.zeros(len(df), dtype=np.float64),
+            "side": np.zeros(len(df), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def item_side(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return union_empty
+        supp_nat, _, _ = ray.get(dims_ref)
+        nat = df["l_suppkey"].map(supp_nat)
+        keep = nat.notna().to_numpy()
+        df, nat = df[keep], nat[keep]
+        if not len(df):
+            return union_empty
+        g = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(dtype=np.int64),
+            "nat": nat.to_numpy(dtype=np.int64),
+            "vol": df["l_extendedprice"].to_numpy()
+                   * (1.0 - df["l_discount"].to_numpy()),
+        }).groupby(["key", "nat"], as_index=False)["vol"].sum()
+        key = g["key"].to_numpy(dtype=np.int64)
+        return _arrow(pd.DataFrame({
+            "key": key, "nat": g["nat"].to_numpy(dtype=np.int64),
+            "vol": g["vol"].to_numpy(dtype=np.float64),
+            "side": np.ones(len(g), dtype=np.int64),
+            "_b": (key % n_buckets).astype(np.int64)}))
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        o = g[g["side"] == 0][["key", "nat"]]
+        li = g[g["side"] == 1].groupby(["key", "nat"],
+                                       as_index=False)["vol"].sum()
+        m = li.merge(o, on=["key", "nat"], how="inner")  # same-nation gate
+        if not len(m):
+            return part_empty
+        p = m.groupby("nat", as_index=False)["vol"].sum()
+        return pa.table({
+            "nat": pa.array(p["nat"].to_numpy(dtype=np.int64), pa.int64()),
+            "vol": pa.array(p["vol"].to_numpy(dtype=np.float64),
+                            pa.float64())})
+
+    parts = orders.map_batches(order_side, batch_format="pandas") \
+        .union(items.map_batches(item_side, batch_format="pandas")) \
+        .groupby("_b").map_groups(join_bucket, batch_format="pandas") \
+        .to_pandas()  # bounded: <= n_buckets * nations rows
+    _, _, nname = ray.get(dims_ref)
+    if not len(parts):
+        return rd.from_arrow(pa.table({"n_name": pa.array([], pa.string()),
+                                       "revenue": pa.array([], pa.float64())}))
+    agg = parts.groupby("nat")["vol"].sum().round(2)
+    return rd.from_arrow(pa.table({
+        "n_name": pa.array([nname[int(k)] for k in agg.index], pa.string()),
+        "revenue": pa.array(agg.to_numpy(dtype=np.float64), pa.float64())}))
+
+
+def _supplier_names_task_fn(supplier_path: str) -> dict:
+    """Ray task: suppkey -> name map (dim broadcast)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(supplier_path, columns=["s_suppkey", "s_name"])
+    return dict(zip(t.column("s_suppkey").to_pylist(),
+                    t.column("s_name").to_pylist()))
+
+
+_supplier_names_task = ray.remote(_supplier_names_task_fn)
+
+
+def supplier_revenue_top(sf_dir: str, start: str = "1996-01-01",
+                         end: str = "1996-04-01"):
+    """TPC-H Q15 shape: the top-revenue supplier(s) for one quarter —
+    aggregate, take the global max, keep every supplier tied at it.
+
+    Scale shape: lineitem prunes at the read, filters the window and
+    pre-aggregates (suppkey, vol) per batch (the combiner), so the ONE
+    shuffle moves fixed-width partials bounded by the supplier dim;
+    the per-supplier aggregate is materialized ONCE (supplier-bounded,
+    the dim-table budget), its max is a scalar reduce, and the tie
+    filter + name attach are arrow-side against the broadcast name map."""
+    start_us = int(pd.Timestamp(start).value // 1000)
+    end_us = int(pd.Timestamp(end).value // 1000)
+    names_ref = _supplier_names_task.remote(_t(sf_dir, "supplier"))
+    items = _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+
+    empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                      "vol": pa.array([], pa.float64())})
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        ship = df["l_shipdate"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        df = df[(ship >= start_us) & (ship < end_us)]
+        if not len(df):
+            return empty
+        g = pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(dtype=np.int64),
+            "vol": df["l_extendedprice"].to_numpy()
+                   * (1.0 - df["l_discount"].to_numpy()),
+        }).groupby("l_suppkey", as_index=False)["vol"].sum()
+        return _arrow(g)
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "s_suppkey": pa.array(df["l_suppkey"].to_numpy(dtype=np.int64),
+                                  pa.int64()),
+            "total_revenue": pa.array(df["sum(vol)"].round(2)
+                                      .to_numpy(dtype=np.float64),
+                                      pa.float64())})
+
+    rev = items.map_batches(partial, batch_format="pandas") \
+        .groupby("l_suppkey").sum("vol") \
+        .map_batches(finalize, batch_format="pandas") \
+        .materialize()  # supplier-bounded aggregate, consumed twice
+    mx = rev.max("total_revenue")
+    top = rev.filter(expr=f"total_revenue == {mx!r}").to_pandas()
+    names = ray.get(names_ref)
+    top["s_name"] = top["s_suppkey"].map(names)
+    top = top.sort_values("s_suppkey")
+    return rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(top["s_suppkey"].to_numpy(dtype=np.int64),
+                              pa.int64()),
+        "s_name": pa.array(top["s_name"].astype(str), pa.string()),
+        "total_revenue": pa.array(
+            top["total_revenue"].to_numpy(dtype=np.float64), pa.float64())}))
+
+
 def topk_per_group(sf_dir: str, k: int = 3):
     """Per-group top-k: the k highest-value orders per customer segment
     (deterministic tie-break on o_orderkey).

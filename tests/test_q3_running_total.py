@@ -101,3 +101,62 @@ def test_nation_market_share_matches_pandas(ray_session):
     assert np.allclose(got["mkt_share"].to_numpy(), want.to_numpy(),
                        atol=1e-9)
     assert (got["mkt_share"] > 0).any()
+
+
+def test_local_supplier_volume_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        local_supplier_volume,
+    )
+
+    got = local_supplier_volume(SF_DIR).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+
+    cust = pq.read_table(SF_DIR + "/customer.parquet").to_pandas()
+    nat = pq.read_table(SF_DIR + "/nation.parquet").to_pandas()
+    reg = pq.read_table(SF_DIR + "/region.parquet").to_pandas()
+    supp = pq.read_table(SF_DIR + "/supplier.parquet").to_pandas()
+    orders = pq.read_table(SF_DIR + "/orders.parquet").to_pandas()
+    items = pq.read_table(SF_DIR + "/lineitem.parquet").to_pandas()
+
+    rk = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nk = nat[nat["n_regionkey"].isin(rk)]
+    o = orders[(orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+               & (orders["o_orderdate"] < pd.Timestamp("1997-01-01"))]
+    m = (items.merge(o[["o_orderkey", "o_custkey"]],
+                     left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust[["c_custkey", "c_nationkey"]],
+                left_on="o_custkey", right_on="c_custkey")
+         .merge(supp[["s_suppkey", "s_nationkey"]],
+                left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[(m["c_nationkey"] == m["s_nationkey"])
+          & m["c_nationkey"].isin(set(nk["n_nationkey"]))]
+    m["vol"] = m["l_extendedprice"] * (1.0 - m["l_discount"])
+    want = (m.groupby("c_nationkey")["vol"].sum().round(2)
+            .rename(index=dict(zip(nk["n_nationkey"], nk["n_name"])))
+            .sort_index())
+
+    assert list(got["n_name"]) == list(want.index)
+    assert np.allclose(got["revenue"].to_numpy(), want.to_numpy(), atol=0.02)
+    assert len(got) > 0
+
+
+def test_supplier_revenue_top_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        supplier_revenue_top,
+    )
+
+    got = supplier_revenue_top(SF_DIR).to_pandas().reset_index(drop=True)
+
+    supp = pq.read_table(SF_DIR + "/supplier.parquet").to_pandas()
+    items = pq.read_table(SF_DIR + "/lineitem.parquet").to_pandas()
+    li = items[(items["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+               & (items["l_shipdate"] < pd.Timestamp("1996-04-01"))].copy()
+    li["vol"] = li["l_extendedprice"] * (1.0 - li["l_discount"])
+    rev = li.groupby("l_suppkey")["vol"].sum().round(2)
+    top = rev[rev == rev.max()]
+
+    assert list(got["s_suppkey"]) == sorted(top.index)
+    assert np.allclose(got["total_revenue"].to_numpy(),
+                       top.sort_index().to_numpy(), atol=0.02)
+    names = dict(zip(supp["s_suppkey"], supp["s_name"]))
+    assert list(got["s_name"]) == [names[k] for k in sorted(top.index)]
