@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": q.docs_postings,
         "text_normalize": q.text_normalize,
         "docs_weighted_sample": q.docs_weighted_sample,
+        "docs_c4_filter": q.docs_c4_filter,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "events_user_paths": q.events_user_paths,
         "events_value_p95_hourly": q.events_value_p95_hourly,
@@ -512,6 +513,53 @@ def oracle_sql() -> dict[str, str]:
                          END, 6) AS rep_bigram
             FROM b
         """,
+        "docs_c4_filter": f"""
+            WITH RECURSIVE lang AS ({{LANG_SQL}}),
+            q AS (
+                SELECT doc_id,
+                       round(len(list_distinct(w))::DOUBLE / len(w), 6)
+                           AS distinct_ratio,
+                       round((length(text) - (len(w) - 1))::DOUBLE / len(w), 6)
+                           AS mean_token_len,
+                       len(w)::BIGINT AS n_tokens
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                      FROM documents)
+            ),
+            t AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             generate_series(1, length(text) - 4),
+                             i -> substr(text, i, 5))) AS g
+                  FROM documents),
+            pairs AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5),
+            edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u),
+            clusters AS (SELECT u AS doc_id,
+                                least(u, min(v))::BIGINT AS canonical_id
+                         FROM reach GROUP BY u)
+            SELECT d.doc_id, l.lang_pred, q.n_tokens,
+                   regexp_replace(regexp_replace(regexp_replace(d.text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                       '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{{6,}}', '<NUM>', 'g') AS text
+            FROM documents d
+            JOIN lang l ON l.doc_id = d.doc_id
+            JOIN q ON q.doc_id = d.doc_id
+            WHERE q.n_tokens BETWEEN 10 AND 1000
+              AND q.distinct_ratio >= 0.3
+              AND q.mean_token_len BETWEEN 2.0 AND 12.0
+              AND l.lang_pred <> 'unk'
+              AND d.doc_id NOT IN (SELECT doc_id FROM clusters
+                                   WHERE doc_id <> canonical_id)
+        """.replace("{LANG_SQL}", _lang_id_sql()),
         "text_scrub_pii": """
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(text,

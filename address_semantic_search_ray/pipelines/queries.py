@@ -1956,6 +1956,72 @@ def text_scrub_pii(sf_dir: str):
         .map_batches(scrub, batch_format="pyarrow")
 
 
+def docs_c4_filter(sf_dir: str, min_tokens: int = 10, max_tokens: int = 1000,
+                   min_distinct: float = 0.3, min_mtl: float = 2.0,
+                   max_mtl: float = 12.0, threshold: float = 0.5):
+    """The end-to-end C4-style cleanup a training-data run actually ships:
+    language gate (profile lang-id != 'unk'), token-count bounds, quality
+    gates (distinct-word ratio, mean token length), near-dup cluster-loser
+    drop, and PII scrub — one composed pipeline over the verified pieces,
+    emitting the surviving (doc_id, lang_pred, n_tokens, scrubbed text).
+
+    Scale shape: every per-doc signal (tokens, quality, lang, scrub) is
+    computed in ONE streaming ``map_batches`` pass — no intermediate
+    tables, no joins between the signal operators; the only non-map input
+    is the near-dup dropped-id set, which is bounded by the near-dup
+    count, reuses the memoized pair table shared with dedup_clusters /
+    dedup_filter, and broadcasts once via ``ray.put`` for a pure arrow
+    membership filter inside the same pass. The gates run BEFORE the
+    scrub so redaction cost is paid only for survivors."""
+    from ..stages.text import lang_id_batch, quality_batch, token_count_batch
+
+    clusters = dedup_clusters(sf_dir, threshold=threshold)
+    dropped_chunks = []
+    for b in clusters.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b.filter(pc.not_equal(b.column("doc_id"),
+                                  b.column("canonical_id")))
+        if t.num_rows:
+            dropped_chunks.append(
+                t.column("doc_id").to_numpy(zero_copy_only=False))
+    dropped = (np.unique(np.concatenate(dropped_chunks)).astype(np.int64)
+               if dropped_chunks else np.asarray([], dtype=np.int64))
+    ids_ref = ray.put(pa.array(dropped, pa.int64()))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.invert(
+            pc.is_in(batch.column("doc_id"), value_set=ray.get(ids_ref))))
+        df = batch.to_pandas()
+        if len(df):
+            tok = token_count_batch(df)["n_tokens"]
+            qual = quality_batch(df)
+            lang = lang_id_batch(df)["lang_pred"]
+            keep = ((tok >= min_tokens) & (tok <= max_tokens)
+                    & (qual["distinct_ratio"] >= min_distinct)
+                    & (qual["mean_token_len"] >= min_mtl)
+                    & (qual["mean_token_len"] <= max_mtl)
+                    & (lang != "unk")).to_numpy()
+            df = df.assign(lang_pred=lang, n_tokens=tok)[keep]
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang_pred": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        col = pa.array(df["text"], pa.string())
+        for pat, repl in PII_PATTERNS:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "lang_pred": pa.array(df["lang_pred"].astype(str), pa.string()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(dtype=np.int64),
+                                 pa.int64()),
+            "text": col})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(clean, batch_format="pyarrow")
+
+
 def lang_stats(sf_dir: str):
     out = (
         _read(sf_dir, "documents", ["lang", "n_chars"])
