@@ -27,6 +27,10 @@ def make_topk_partial(queries_ref, k: int):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         import ray
 
+        if not len(batch):  # Ray Data can hand map_batches empty blocks
+            return pd.DataFrame({"query_id": np.asarray([], dtype=np.int64),
+                                 "vec_id": np.asarray([], dtype=np.int64),
+                                 "cos": np.asarray([], dtype=np.float64)})
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
         qids, qmat = q["ids"], q["mat"]  # (m,), (m, d) float64 normalized
         vec_ids = batch["vec_id"].to_numpy()
@@ -91,8 +95,11 @@ def ivf_assign_batch_fn(centroids: np.ndarray):
     """vec -> nearest-centroid list id (max cosine; ties -> lowest id)."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        m = normalize_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         out = batch[["vec_id", "embedding"]].copy()
+        if not len(batch):  # empty block: keep the schema explicit
+            out["list_id"] = np.asarray([], dtype=np.int64)
+            return out
+        m = normalize_rows(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         out["list_id"] = np.argmax(m @ centroids.T, axis=1).astype(np.int64)
         return out
 
@@ -116,6 +123,10 @@ def lsh_planes(dim: int, n_bits: int = 12, seed: int = 7) -> np.ndarray:
 
 def lsh_bucket_batch_fn(planes: np.ndarray):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # empty block: keep the schema explicit
+            out = batch[["vec_id", "embedding"]].copy()
+            out["bucket"] = np.asarray([], dtype=np.int64)
+            return out
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         bits = (m @ planes.T) > 0  # (n, n_bits)
         buckets = np.zeros(len(m), dtype=np.int64)
@@ -191,6 +202,10 @@ def pq_encode_batch_fn(books: np.ndarray):
     m, _, dsub = books.shape
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # Ray Data can hand map_batches empty blocks
+            return pd.DataFrame({"vec_id": np.asarray([], dtype=np.int64),
+                                 **{f"code_{s}": np.asarray([], dtype=np.int64)
+                                    for s in range(m)}})
         x = normalize_rows(
             np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         out = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()})
