@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_filter": q.docs_c4_filter,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "events_user_paths": q.events_user_paths,
+        "events_cdc_compact": q.events_cdc_compact,
         "events_value_p95_hourly": q.events_value_p95_hourly,
         "orders_rollup": q.orders_rollup,
         "docs_bigram_lm": q.docs_bigram_lm,
@@ -904,6 +905,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ents a JOIN ents b USING (conv_id)
             WHERE a.obj < b.obj
             GROUP BY 1, 2
+        """,
+        "events_cdc_compact": """
+            SELECT user_id, epoch_us(ts) AS last_ts_us,
+                   event_id AS last_event_id,
+                   event_type AS last_event_type,
+                   value AS last_value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         "events_user_paths": """
             WITH seq AS (

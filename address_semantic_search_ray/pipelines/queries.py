@@ -4172,6 +4172,63 @@ def events_running_total(sf_dir: str, n_buckets: int = 64):
         .groupby("_b").map_groups(bucket_scan, batch_format="pandas")
 
 
+def events_cdc_compact(sf_dir: str, n_buckets: int = 64):
+    """Last-write-wins compaction (the CDC-snapshot / upsert-merge shape):
+    one surviving row per user — their latest event under the
+    (ts, event_id) total order — the step that turns an append-only
+    change stream into a current-state table.
+
+    Scale shape: distributed argmax-per-key. Each batch keeps only its
+    own last row per user (the combiner — at most one row per (batch,
+    user) ever shuffles, so a hot user costs one row per block, not its
+    event history); the ONE user-bucketed fold repeats the same tail(1)
+    on the bounded partials. No global sort, no driver state."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "last_ts_us": pa.array([], pa.int64()),
+                      "last_event_id": pa.array([], pa.int64()),
+                      "last_event_type": pa.array([], pa.string()),
+                      "last_value": pa.array([], pa.float64()),
+                      "_b": pa.array([], pa.int64())})
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "last_ts_us": df["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "last_event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "last_event_type": df["event_type"],
+            "last_value": df["value"].to_numpy(dtype=np.float64),
+        }).sort_values(["user_id", "last_ts_us", "last_event_id"],
+                       kind="mergesort").groupby("user_id", sort=False) \
+            .tail(1)
+        g["_b"] = (g["user_id"].to_numpy() % n_buckets).astype(np.int64)
+        return _arrow(g)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "last_ts_us", "last_event_id"],
+                          kind="mergesort").groupby("user_id", sort=False) \
+            .tail(1)
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64),
+                                pa.int64()),
+            "last_ts_us": pa.array(g["last_ts_us"].to_numpy(dtype=np.int64),
+                                   pa.int64()),
+            "last_event_id": pa.array(
+                g["last_event_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "last_event_type": pa.array(g["last_event_type"].astype(str),
+                                        pa.string()),
+            "last_value": pa.array(g["last_value"].to_numpy(dtype=np.float64),
+                                   pa.float64())})
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(fold, batch_format="pandas")
+
+
 def events_user_paths(sf_dir: str, n_buckets: int = 64):
     """Event-type transition matrix: for every ordered pair of consecutive
     events by the same user (total order: ts, then event_id for equal

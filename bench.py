@@ -34,7 +34,8 @@ BENCH_QUERIES = (
     "events_topk_hourly",
     "events_distinct_users_hourly", "events_zscore_hourly", "events_funnel",
     "events_approx_users_hll", "events_heavy_users_cms",
-    "events_unseen_users_bloom", "events_user_paths", "orders_rollup",
+    "events_unseen_users_bloom", "events_user_paths", "events_cdc_compact",
+    "orders_rollup",
     "orders_shipping_priority", "nation_market_share",
     "local_supplier_volume", "supplier_revenue_top", "events_running_total",
     "events_value_p95_hourly", "docs_bigram_lm",

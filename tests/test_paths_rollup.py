@@ -64,3 +64,30 @@ def test_orders_rollup_levels(ray_session):
     per_year = got[(got["year"] != "ALL") & (got["priority"] == "ALL")]
     assert per_year["n"].sum() == len(orders)
     assert fine["n"].sum() == len(orders)
+
+
+def test_cdc_compact_matches_pandas(ray_session):
+    from address_semantic_search_ray.pipelines.queries import (
+        events_cdc_compact,
+    )
+
+    got = events_cdc_compact(SF_SMALL).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    ev = pq.read_table(SF_SMALL + "/events.parquet").to_pandas()
+    ev["last_ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    want = (ev.sort_values(["user_id", "last_ts_us", "event_id"],
+                           kind="mergesort")
+            .groupby("user_id", sort=True).tail(1)
+            .sort_values("user_id").reset_index(drop=True))
+
+    assert len(got) == ev["user_id"].nunique()
+    assert (got["user_id"].to_numpy()
+            == want["user_id"].to_numpy(dtype=np.int64)).all()
+    assert (got["last_ts_us"].to_numpy()
+            == want["last_ts_us"].to_numpy()).all()
+    assert (got["last_event_id"].to_numpy()
+            == want["event_id"].to_numpy(dtype=np.int64)).all()
+    assert list(got["last_event_type"]) == list(want["event_type"])
+    assert np.allclose(got["last_value"].to_numpy(),
+                       want["value"].to_numpy(), atol=1e-12)
