@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q.kg_triples,
         "kg_mentions": q.kg_mentions,
         "kg_region_degree": q.kg_region_degree,
+        "kg_part_of_closure": q.kg_part_of_closure,
         "kg_entity_cooccurrence": q.kg_entity_cooccurrence,
         "kg_conv_first_mentions": q.kg_conv_first_mentions,
         "kg_cooccur_triangles": q.kg_cooccur_triangles,
@@ -889,6 +890,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             SELECT subj, pred, obj, conv_id, turn_idx, district_key, score
             FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+        """,
+        "kg_part_of_closure": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'part_of'
+            ),
+            closure(subj, ancestor, depth) AS (
+                SELECT subj, obj, 1 FROM e
+                UNION ALL
+                SELECT c.subj, e.obj, c.depth + 1
+                FROM closure c JOIN e ON c.ancestor = e.subj
+            )
+            SELECT subj, ancestor, depth::BIGINT AS depth FROM closure
         """,
         "kg_region_degree": f"""
             SELECT obj, pred, count(*) AS n

@@ -2717,6 +2717,63 @@ def kg_region_degree(sf_dir: str):
             .groupby("_b").map_groups(sum_bucket, batch_format="pandas"))
 
 
+def _build_partof_closure(*tables):
+    """Ray task: transitive closure with depth over the deduped part_of
+    edge partials. The hierarchy is a forest (one parent per child, the
+    canonical region dictionary), so each node's ancestor chain is its
+    unique walk to the root — bounded by the dictionary size x depth(<=5),
+    never by the triple stream."""
+    t = pa.concat_tables(tables)
+    parent: dict = {}
+    for s, o in zip(t.column("subj").to_pylist(), t.column("obj").to_pylist()):
+        prev = parent.setdefault(s, o)
+        if prev != o:
+            raise ValueError(f"part_of is not a forest: {s} -> {prev}, {o}")
+    out_s, out_a, out_d = [], [], []
+    for s in parent:
+        a, d = parent[s], 1
+        while True:
+            out_s.append(s)
+            out_a.append(a)
+            out_d.append(d)
+            if a not in parent:
+                break
+            a, d = parent[a], d + 1
+    return pa.table({"subj": pa.array(out_s, pa.string()),
+                     "ancestor": pa.array(out_a, pa.string()),
+                     "depth": pa.array(out_d, pa.int64())})
+
+
+_build_partof_closure_task = ray.remote(_build_partof_closure)
+
+
+def kg_part_of_closure(sf_dir: str):
+    """Hierarchy completion — the KG-construction step that turns the
+    direct part_of edges into the full ancestor table (every (region,
+    ancestor, depth) pair), so consumers can answer containment queries
+    without walking chains at read time.
+
+    Scale shape: the pruned triple read + per-batch distinct is the only
+    stage that touches the stream; the deduped edge partials (bounded by
+    the region dictionary, NOT the corpus — part_of is emitted once per
+    distinct region pair) flow as arrow refs into ONE Ray task that walks
+    the forest. Oracle = a recursive CTE over the naive twin's triples;
+    the forest walk and the CTE must agree pair-for-pair AND depth-for-
+    depth across two independent triple constructions."""
+    _ensure_kg_naive(sf_dir)
+    ds = rd.read_parquet(_kg_artifacts(sf_dir)["triples"],
+                         columns=["subj", "pred", "obj"])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), "part_of"))
+        return t.select(["subj", "obj"]).group_by(["subj", "obj"]) \
+            .aggregate([])
+
+    edges = ds.map_batches(edge_partial, batch_format="pyarrow").materialize()
+    closure_ref = _build_partof_closure_task.remote(*edges.to_arrow_refs())
+    return rd.from_arrow(ray.get(closure_ref))
+
+
 def _cooccur_edges_compute(sf_dir: str, n_buckets: int = 64):
     """Entity co-occurrence edges over the materialized triple table: for
     every pair of distinct region entities MENTIONED in the same

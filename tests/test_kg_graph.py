@@ -173,3 +173,27 @@ def test_link_prediction_matches_naive(ray_session, cooccur_edges):
     for row, (v, a, b) in zip(got.itertuples(index=False), want):
         assert (row.obj_a, row.obj_b) == (a, b)
         assert row.aa == pytest.approx(v, abs=2e-6)
+
+
+def test_part_of_closure_matches_naive(ray_session, triples_df):
+    """Forest-walk closure vs a dict-based BFS over the raw triples."""
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_part_of_closure(SF_SMALL).to_pandas()
+    got_set = set(zip(got["subj"], got["ancestor"], got["depth"]))
+
+    e = triples_df[triples_df["pred"] == "part_of"][["subj", "obj"]] \
+        .drop_duplicates()
+    parent = dict(zip(e["subj"], e["obj"]))
+    assert len(parent) == len(e), "part_of must be a forest"
+    want = set()
+    for s in parent:
+        a, d = parent[s], 1
+        while True:
+            want.add((s, a, d))
+            if a not in parent:
+                break
+            a, d = parent[a], d + 1
+    assert got_set == want
+    assert len(got) == len(got_set), "closure rows must be distinct"
+    assert int(got["depth"].max()) >= 2, "fixture should have multi-level chains"
