@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": q.kg_mentions,
         "kg_region_degree": q.kg_region_degree,
         "kg_part_of_closure": q.kg_part_of_closure,
+        "kg_located_at_rollup": q.kg_located_at_rollup,
         "kg_entity_cooccurrence": q.kg_entity_cooccurrence,
         "kg_conv_first_mentions": q.kg_conv_first_mentions,
         "kg_cooccur_triangles": q.kg_cooccur_triangles,
@@ -904,6 +905,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM closure c JOIN e ON c.ancestor = e.subj
             )
             SELECT subj, ancestor, depth::BIGINT AS depth FROM closure
+        """,
+        "kg_located_at_rollup": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'part_of'
+            ),
+            closure(subj, ancestor) AS (
+                SELECT subj, obj FROM e
+                UNION ALL
+                SELECT c.subj, e.obj FROM closure c JOIN e ON c.ancestor = e.subj
+            ),
+            direct AS (
+                SELECT obj AS region, count(*)::BIGINT AS n
+                FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
+                WHERE pred = 'located_at' GROUP BY 1
+            ),
+            contrib AS (
+                SELECT region, n FROM direct
+                UNION ALL
+                SELECT c.ancestor AS region, d.n
+                FROM closure c JOIN direct d ON d.region = c.subj
+            )
+            SELECT region, sum(n)::BIGINT AS n_located
+            FROM contrib GROUP BY region
         """,
         "kg_region_degree": f"""
             SELECT obj, pred, count(*) AS n

@@ -2760,6 +2760,13 @@ def kg_part_of_closure(sf_dir: str):
     the forest. Oracle = a recursive CTE over the naive twin's triples;
     the forest walk and the CTE must agree pair-for-pair AND depth-for-
     depth across two independent triple constructions."""
+    return rd.from_arrow(ray.get(_partof_closure_ref(sf_dir)))
+
+
+def _partof_closure_ref(sf_dir: str):
+    """ObjectRef of the (subj, ancestor, depth) closure table — the pruned
+    triple read + per-batch arrow distinct is the only stage touching the
+    stream; the bounded edge partials flow as arrow refs into one task."""
     _ensure_kg_naive(sf_dir)
     ds = rd.read_parquet(_kg_artifacts(sf_dir)["triples"],
                          columns=["subj", "pred", "obj"])
@@ -2770,8 +2777,59 @@ def kg_part_of_closure(sf_dir: str):
             .aggregate([])
 
     edges = ds.map_batches(edge_partial, batch_format="pyarrow").materialize()
-    closure_ref = _build_partof_closure_task.remote(*edges.to_arrow_refs())
-    return rd.from_arrow(ray.get(closure_ref))
+    return _build_partof_closure_task.remote(*edges.to_arrow_refs())
+
+
+def _rollup_located_at(closure, *direct_partials):
+    """Ray task: subtree located_at totals — fold the region-bounded
+    direct-count partials, then propagate each region's count to every
+    ancestor via the closure table. All inputs are dictionary-bounded."""
+    d = pa.concat_tables(direct_partials).group_by("region") \
+        .aggregate([("n", "sum")])
+    direct = dict(zip(d.column("region").to_pylist(),
+                      d.column("n_sum").to_pylist()))
+    totals = dict(direct)
+    for s, a in zip(closure.column("subj").to_pylist(),
+                    closure.column("ancestor").to_pylist()):
+        n = direct.get(s)
+        if n:
+            totals[a] = totals.get(a, 0) + n
+    regions = sorted(totals)
+    return pa.table({"region": pa.array(regions, pa.string()),
+                     "n_located": pa.array([totals[r] for r in regions],
+                                           pa.int64())})
+
+
+_rollup_located_at_task = ray.remote(_rollup_located_at)
+
+
+def kg_located_at_rollup(sf_dir: str):
+    """Containment rollup — for every region at every hierarchy level, the
+    number of located_at edges in its SUBTREE (own + all descendants): the
+    aggregation a KG consumer wants when asking "how many addresses
+    resolve under this city/province", answered from the closure table
+    instead of read-time chain walks.
+
+    Scale shape: the only stage touching the triple stream is the pruned
+    read + per-batch arrow count partials (region-dictionary-bounded);
+    the closure (from the shared ``_partof_closure_ref``) and the folded
+    counts meet in ONE Ray task over bounded payloads. Oracle = the
+    recursive-CTE closure joined to the direct counts in DuckDB, two
+    independent triple constructions."""
+    closure_ref = _partof_closure_ref(sf_dir)
+    ds = rd.read_parquet(_kg_artifacts(sf_dir)["triples"],
+                         columns=["pred", "obj"])
+
+    def direct_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("pred"), "located_at"))
+        g = t.group_by("obj").aggregate([("obj", "count")])
+        return pa.table({"region": g.column("obj"),
+                         "n": g.column("obj_count").cast(pa.int64())})
+
+    direct = ds.map_batches(direct_partial, batch_format="pyarrow") \
+        .materialize()
+    return rd.from_arrow(ray.get(_rollup_located_at_task.remote(
+        closure_ref, *direct.to_arrow_refs())))
 
 
 def _cooccur_edges_compute(sf_dir: str, n_buckets: int = 64):

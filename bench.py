@@ -51,6 +51,7 @@ BENCH_QUERIES = (
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_kmeans",
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
     "kg_links_explain", "kg_region_degree", "kg_part_of_closure",
+    "kg_located_at_rollup",
     "kg_entity_cooccurrence", "kg_conv_first_mentions",
     "kg_cooccur_triangles", "kg_region_pagerank", "kg_community_lpa",
     "kg_link_prediction",

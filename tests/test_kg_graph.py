@@ -197,3 +197,31 @@ def test_part_of_closure_matches_naive(ray_session, triples_df):
     assert got_set == want
     assert len(got) == len(got_set), "closure rows must be distinct"
     assert int(got["depth"].max()) >= 2, "fixture should have multi-level chains"
+
+
+def test_located_at_rollup_matches_naive(ray_session, triples_df):
+    """Subtree rollup vs a dict walk: each region's total = own located_at
+    count + every descendant's (via the parent-pointer chain)."""
+    from address_semantic_search_ray.pipelines import queries as q
+
+    got = q.kg_located_at_rollup(SF_SMALL).to_pandas()
+    got_m = dict(zip(got["region"], got["n_located"]))
+
+    e = triples_df[triples_df["pred"] == "part_of"][["subj", "obj"]] \
+        .drop_duplicates()
+    parent = dict(zip(e["subj"], e["obj"]))
+    direct = triples_df[triples_df["pred"] == "located_at"]["obj"] \
+        .value_counts().to_dict()
+    want: dict = {}
+    for r, n in direct.items():
+        a = r
+        while True:
+            want[a] = want.get(a, 0) + n
+            if a not in parent:
+                break
+            a = parent[a]
+    assert got_m == want
+    # a parent's subtree total must be >= any child's
+    for s, p in parent.items():
+        if s in want and p in want:
+            assert want[p] >= want[s]
