@@ -182,7 +182,9 @@ def write_lsh_topk(embeddings_path: str, out_dir: str, k: int = 5,
     plane signs (the plane seed is spec), then for each query vector probe
     only its own bucket with a plain cosine loop + (cos desc, vec_id asc)
     top-k — the Ray pipeline's partial/final reduce must agree."""
-    fp = _fingerprint(embeddings_path)
+    from ..stages import vector as _vec
+
+    fp = _fingerprint(embeddings_path, _vec.__file__)
     if _cached(out_dir, "lsh_topk", fp):
         return
     from ..stages.vector import lsh_planes
@@ -224,7 +226,9 @@ def write_lsh_buckets(embeddings_path: str, out_dir: str, n_bits: int = 4) -> No
     """(vec_id, bucket): per-vector LSH bucket recomputed with a plain loop
     (plane seed is spec). The SQL oracle joins embeddings on equal buckets
     and re-does the cosine threshold itself."""
-    fp = _fingerprint(embeddings_path) + f":{n_bits}"
+    from ..stages import vector as _vec
+
+    fp = _fingerprint(embeddings_path, _vec.__file__) + f":{n_bits}"
     if _cached(out_dir, "lsh_buckets", fp):
         return
     from ..stages.vector import lsh_planes
@@ -253,7 +257,10 @@ def write_ivf(embeddings_path: str, out_dir: str, n_queries: int = 5,
     probe lists, recomputed with plain loops (the k-means trainer is spec,
     shared). The SQL oracle joins these and re-does the per-query scan +
     top-k ranking itself in DuckDB."""
-    fp = _fingerprint(embeddings_path) + f":{n_queries}:{nlist}:{nprobe}"
+    from ..stages import vector as _vec
+
+    fp = _fingerprint(embeddings_path, _vec.__file__) \
+        + f":{n_queries}:{nlist}:{nprobe}"
     if _cached(out_dir, "ivf_assign", fp) and _cached(out_dir, "ivf_probes", fp):
         return
     from ..stages.vector import ivf_train
@@ -304,10 +311,15 @@ def write_pq_scores(embeddings_path: str, out_dir: str, n_queries: int = 5,
     per-query LUT sums term by term (the per-subspace k-means trainer is
     spec, shared, like write_ivf). Scores round to 6 dp; the SQL oracle
     re-does the per-query ranking itself in DuckDB."""
-    fp = _fingerprint(embeddings_path) + f":{n_queries}:{m}:{ksub}"
+    from ..stages import vector as _vec
+    from ..stages.vector import pq_train
+
+    # the shared-spec trainer's source is part of the key: retraining-
+    # relevant changes to stages/vector.py invalidate the cached twin
+    fp = _fingerprint(embeddings_path, _vec.__file__) \
+        + f":{n_queries}:{m}:{ksub}"
     if _cached(out_dir, "pq_scores", fp):
         return
-    from ..stages.vector import pq_train
 
     t = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
@@ -363,7 +375,9 @@ def write_kmeans(embeddings_path: str, out_dir: str, k: int = 8,
     oracle's argmax-cosine; normalize_rows is shared as spec, like
     ivf_train). Writes (cluster, centroid) for the SQL side to assign
     against."""
-    fp = _fingerprint(embeddings_path) + f":{k}:{n_iters}"
+    from ..stages import vector as _vec
+
+    fp = _fingerprint(embeddings_path, _vec.__file__) + f":{k}:{n_iters}"
     if _cached(out_dir, "kmeans_centroids", fp):
         return
     from ..stages.vector import normalize_rows
