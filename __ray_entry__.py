@@ -894,9 +894,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_part_of_closure": f"""
             WITH RECURSIVE e AS (
-                SELECT DISTINCT subj, obj
+                -- canonical forest: smallest parent per child (alias-split
+                -- chains can give a child two parents at larger scales)
+                SELECT subj, min(obj) AS obj
                 FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
-                WHERE pred = 'part_of'
+                WHERE pred = 'part_of' GROUP BY subj
             ),
             closure(subj, ancestor, depth) AS (
                 SELECT subj, obj, 1 FROM e
@@ -908,9 +910,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_located_at_rollup": f"""
             WITH RECURSIVE e AS (
-                SELECT DISTINCT subj, obj
+                SELECT subj, min(obj) AS obj
                 FROM read_parquet('{SF001_ORACLE}/kg_triples.parquet')
-                WHERE pred = 'part_of'
+                WHERE pred = 'part_of' GROUP BY subj
             ),
             closure(subj, ancestor) AS (
                 SELECT subj, obj FROM e

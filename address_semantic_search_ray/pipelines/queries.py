@@ -2719,20 +2719,25 @@ def kg_region_degree(sf_dir: str):
 
 def _build_partof_closure(*tables):
     """Ray task: transitive closure with depth over the deduped part_of
-    edge partials. The hierarchy is a forest (one parent per child, the
-    canonical region dictionary), so each node's ancestor chain is its
-    unique walk to the root — bounded by the dictionary size x depth(<=5),
-    never by the triple stream."""
+    edge partials. A child can carry edges to MORE than one parent when
+    distinct interpretation chains disagree (dictionary aliases — observed
+    at sf0.1), so the hierarchy canonicalizes to the lexicographically
+    smallest parent per child first (deterministic, and a no-op on clean
+    forests); each node's ancestor chain is then its unique walk to the
+    root — bounded by the dictionary size x depth, never by the triple
+    stream. A depth cap guards against alias-induced cycles."""
     t = pa.concat_tables(tables)
     parent: dict = {}
     for s, o in zip(t.column("subj").to_pylist(), t.column("obj").to_pylist()):
-        prev = parent.setdefault(s, o)
-        if prev != o:
-            raise ValueError(f"part_of is not a forest: {s} -> {prev}, {o}")
+        prev = parent.get(s)
+        if prev is None or o < prev:
+            parent[s] = o
     out_s, out_a, out_d = [], [], []
     for s in parent:
         a, d = parent[s], 1
         while True:
+            if d > 32:
+                raise ValueError(f"part_of chain too deep at {s} (cycle?)")
             out_s.append(s)
             out_a.append(a)
             out_d.append(d)
@@ -3836,14 +3841,18 @@ def _build_cooccur_graph(*tables):
                           "obj_b": pa.array([], pa.string()),
                           "n_convs": pa.array([], pa.int64())})]
     t = pa.concat_tables(tabs)
-    a = np.asarray(t.column("obj_a").to_pylist(), dtype=object)
-    b = np.asarray(t.column("obj_b").to_pylist(), dtype=object)
+    a = np.asarray(t.column("obj_a").to_pylist(), dtype=str)
+    b = np.asarray(t.column("obj_b").to_pylist(), dtype=str)
     w = t.column("n_convs").to_numpy().astype(np.float64)
-    nodes = np.unique(np.concatenate([a, b]).astype(str)) if len(a) \
-        else np.asarray([], dtype=str)
-    idx = {n: i for i, n in enumerate(nodes)}
-    ai = np.fromiter((idx[x] for x in a), np.int64, len(a))
-    bi = np.fromiter((idx[x] for x in b), np.int64, len(b))
+    if not len(a):
+        nodes = np.asarray([], dtype=str)
+    else:
+        nodes = np.unique(np.concatenate([a, b]))
+    # vectorized node-id mapping: nodes is sorted unique and every edge
+    # endpoint is present, so searchsorted IS the index (the python-dict +
+    # fromiter version cost ~10 s at 1M+ edges)
+    ai = np.searchsorted(nodes, a).astype(np.int64)
+    bi = np.searchsorted(nodes, b).astype(np.int64)
     src = np.concatenate([ai, bi])
     dst = np.concatenate([bi, ai])
     ww = np.concatenate([w, w])

