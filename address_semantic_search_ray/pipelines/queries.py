@@ -2867,21 +2867,28 @@ def _cooccur_edges_compute(sf_dir: str, n_buckets: int = 64):
     def conv_pairs(g: pd.DataFrame) -> pa.Table:
         g = (g.drop_duplicates(["conv_id", "obj"])
              .sort_values(["conv_id", "obj"], kind="stable"))
-        a_out, b_out = [], []
-        for _, sub in g.groupby("conv_id", sort=False):
-            objs = sub["obj"].to_numpy()
-            if len(objs) < 2:
-                continue
-            i, j = np.triu_indices(len(objs), k=1)
-            a_out.append(objs[i])
-            b_out.append(objs[j])
-        if not a_out:
+        conv = g["conv_id"].to_numpy()
+        objs = g["obj"].to_numpy()
+        # vectorized within-conv pair expansion (the _triangle_shard CSR
+        # trick): each row at local index l pairs, as the greater side,
+        # with the l rows before it in its conversation — no per-conv loop
+        new = np.ones(len(conv), dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, len(conv)))
+        loc = np.arange(len(conv)) - np.repeat(starts, lens)
+        n_pairs = int(loc.sum())
+        if n_pairs == 0:
             return pa.table({"obj_a": pa.array([], pa.string()),
                              "obj_b": pa.array([], pa.string()),
                              "n_convs": pa.array([], pa.int64()),
                              "_pb": pa.array([], pa.int64())})
-        pairs = pd.DataFrame({"obj_a": np.concatenate(a_out),
-                              "obj_b": np.concatenate(b_out)})
+        b_idx = np.repeat(np.arange(len(conv)), loc)
+        a_off = np.arange(n_pairs) - np.repeat(np.cumsum(loc) - loc, loc)
+        a_idx = np.repeat(np.repeat(starts, lens), loc) + a_off
+        # rows are obj-sorted within a conversation, so a_idx < b_idx in
+        # the same conv implies obj_a < obj_b (the canonical edge order)
+        pairs = pd.DataFrame({"obj_a": objs[a_idx], "obj_b": objs[b_idx]})
         part = pairs.groupby(["obj_a", "obj_b"], sort=False,
                              as_index=False).agg(n_convs=("obj_a", "size"))
         part["n_convs"] = part["n_convs"].astype(np.int64)
