@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_frames": q.multimodal_audio_frames,
         "multimodal_wav_decode": q.multimodal_wav_decode,
         "multimodal_ppm_decode": q.multimodal_ppm_decode,
+        "multimodal_ppm_resize": q.multimodal_ppm_resize,
         # secondary reference pipelines
         "town_mining": q.town_mining,
         "regression_harness": q.regression_harness,
@@ -159,6 +160,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 4) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "multimodal_ppm_resize": """
+            WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                              8 + (doc_id * 7) % 13 AS h
+                       FROM documents),
+                 u AS (SELECT doc_id, w, h,
+                              unnest(generate_series(0, 47)) AS k
+                       FROM d),
+                 m AS (SELECT doc_id, w, h, k % 3 AS c,
+                              ((k // 12) * h) // 4 AS sy,
+                              (((k // 3) % 4) * w) // 4 AS sx
+                       FROM u),
+                 v AS (SELECT doc_id, w, h, c,
+                              (doc_id * 7 + ((sy * w + sx) * 3 + c) * 13)
+                                  % 256 AS val
+                       FROM m)
+            SELECT doc_id, w AS width, h AS height,
+                   4::BIGINT AS out_w, 4::BIGINT AS out_h,
+                   sum(CASE WHEN c = 0 THEN val ELSE 0 END)::BIGINT AS rsum_r,
+                   sum(CASE WHEN c = 1 THEN val ELSE 0 END)::BIGINT AS rsum_g,
+                   sum(CASE WHEN c = 2 THEN val ELSE 0 END)::BIGINT AS rsum_b
+            FROM v GROUP BY doc_id, w, h
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -2637,6 +2637,26 @@ def multimodal_ppm_decode(sf_dir: str):
                                batch_size=256, concurrency=2)
 
 
+def multimodal_ppm_resize(sf_dir: str, out_w: int = 4, out_h: int = 4):
+    """REAL image resize (the task's named multimodal stage next to
+    decode): nearest-neighbor downsample of each P6 image to
+    (out_w, out_h) inside an actor-pool ``map_batches`` stage — integer
+    sample-index math end to end (src = (i * dim) // out), emitting exact
+    per-channel sums of the RESIZED pixels the SQL oracle recomputes
+    pixel-for-pixel. Same streaming shape as the decode path: payloads
+    attach per batch, the stage holds no cross-batch state, binary blobs
+    never shuffle."""
+    from ..stages.multimodal import PpmResize, attach_ppm_payload_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    payload = ds.map_batches(attach_ppm_payload_batch,
+                             batch_format="pyarrow", batch_size=256)
+    return payload.map_batches(PpmResize, batch_format="pyarrow",
+                               batch_size=256, concurrency=2,
+                               fn_constructor_kwargs={"out_w": out_w,
+                                                      "out_h": out_h})
+
+
 def multimodal_audio_frames(sf_dir: str):
     from ..stages.multimodal import AudioFrameSampleStub, attach_payload_batch
 

@@ -125,6 +125,46 @@ class PpmDecode:
                          "sum_b": pa.array(b_out, pa.int64())})
 
 
+class PpmResize:
+    """REAL nearest-neighbor image RESIZE over the P6 decode path: parse
+    the header, view the raw RGB buffer, gather the (out_h, out_w) NN
+    sample grid (src index = (i * dim) // out — pure integer math end to
+    end), and emit exact per-channel sums of the RESIZED pixels so the
+    SQL oracle can recompute every sampled value."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 4):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w_out, h_out, r_out, g_out, b_out = [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            head, _, rest = p.partition(b"\n")
+            assert head == b"P6", "not a P6 PPM"
+            dims, _, rest = rest.partition(b"\n")
+            _maxval, _, raw = rest.partition(b"\n")
+            w, h = (int(x) for x in dims.split())
+            pix = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3) \
+                .reshape(h, w, 3).astype(np.int64)
+            sy = (np.arange(self.out_h, dtype=np.int64) * h) // self.out_h
+            sx = (np.arange(self.out_w, dtype=np.int64) * w) // self.out_w
+            small = pix[sy][:, sx]  # (out_h, out_w, 3) NN gather
+            w_out.append(w)
+            h_out.append(h)
+            r_out.append(int(small[:, :, 0].sum()))
+            g_out.append(int(small[:, :, 1].sum()))
+            b_out.append(int(small[:, :, 2].sum()))
+        n = len(ids)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "width": pa.array(w_out, pa.int64()),
+                         "height": pa.array(h_out, pa.int64()),
+                         "out_w": pa.array([self.out_w] * n, pa.int64()),
+                         "out_h": pa.array([self.out_h] * n, pa.int64()),
+                         "rsum_r": pa.array(r_out, pa.int64()),
+                         "rsum_g": pa.array(g_out, pa.int64()),
+                         "rsum_b": pa.array(b_out, pa.int64())})
+
+
 class ImageDecodeStub:
     """Actor-pool decode stage. Real decoders load once per actor in
     ``__init__``; without codecs we emit deterministic fake metadata derived

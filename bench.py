@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "similarity_topk_ivf", "similarity_topk_pq", "knn_graph",
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_kmeans",
     "multimodal_image_meta", "multimodal_wav_decode", "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
     "kg_links_explain", "kg_region_degree", "kg_part_of_closure",
     "kg_located_at_rollup",
     "kg_entity_cooccurrence", "kg_conv_first_mentions",

@@ -67,3 +67,51 @@ def test_ppm_decode_rejects_non_ppm():
                       "payload": pa.array([b"JFIF garbage"], pa.binary())})
     with pytest.raises(AssertionError):
         PpmDecode()(batch)
+
+
+def test_ppm_resize_matches_numpy(ray_session):
+    """NN resize vs a direct numpy recompute on the attached payloads."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from address_semantic_search_ray.stages.multimodal import (
+        PpmResize, attach_ppm_payload_batch,
+    )
+
+    ids = pa.table({"doc_id": pa.array([0, 1, 7, 123, 999], pa.int64())})
+    payload = attach_ppm_payload_batch(ids)
+    out = PpmResize(out_w=4, out_h=4)(payload).to_pandas()
+
+    for row, p in zip(out.itertuples(index=False),
+                      payload.column("payload").to_pylist()):
+        head, _, rest = p.partition(b"\n")
+        dims, _, rest = rest.partition(b"\n")
+        _mx, _, raw = rest.partition(b"\n")
+        w, h = (int(x) for x in dims.split())
+        pix = np.frombuffer(raw, np.uint8, w * h * 3).reshape(h, w, 3) \
+            .astype(np.int64)
+        small = pix[(np.arange(4) * h) // 4][:, (np.arange(4) * w) // 4]
+        assert (row.width, row.height, row.out_w, row.out_h) == (w, h, 4, 4)
+        assert row.rsum_r == small[:, :, 0].sum()
+        assert row.rsum_g == small[:, :, 1].sum()
+        assert row.rsum_b == small[:, :, 2].sum()
+
+
+def test_ppm_resize_identity_dims():
+    """Resizing to the source dims is the identity sample grid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from address_semantic_search_ray.stages.multimodal import (
+        PpmDecode, PpmResize, attach_ppm_payload_batch,
+    )
+
+    ids = pa.table({"doc_id": pa.array([10], pa.int64())})
+    payload = attach_ppm_payload_batch(ids)
+    w = 8 + 10 % 9
+    h = 8 + (10 * 7) % 13
+    full = PpmDecode()(payload).to_pandas().iloc[0]
+    same = PpmResize(out_w=w, out_h=h)(payload).to_pandas().iloc[0]
+    assert (same.rsum_r, same.rsum_g, same.rsum_b) == \
+        (full.sum_r, full.sum_g, full.sum_b)
