@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": q.docs_postings,
         "text_normalize": q.text_normalize,
         "docs_weighted_sample": q.docs_weighted_sample,
+        "docs_vocab_growth": q.docs_vocab_growth,
         "docs_c4_filter": q.docs_c4_filter,
         "events_unseen_users_bloom": q.events_unseen_users_bloom,
         "events_user_paths": q.events_user_paths,
@@ -593,6 +594,19 @@ def oracle_sql() -> dict[str, str]:
                        '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{6,}', '<NUM>', 'g') AS text
             FROM documents
+        """,
+        "docs_vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' '))) AS w
+                FROM documents),
+            firsts AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1),
+            hist AS (SELECT fd AS doc_id, count(*)::BIGINT AS n_new
+                     FROM firsts GROUP BY 1)
+            SELECT d.doc_id,
+                   sum(coalesce(h.n_new, 0))
+                       OVER (ORDER BY d.doc_id)::BIGINT AS vocab_size
+            FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id
         """,
         "docs_weighted_sample": """
             WITH t AS (

@@ -1601,6 +1601,95 @@ def docs_pack_sequences(sf_dir: str, ctx: int = 512, n_buckets: int = 64):
     return btok.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
+def docs_vocab_growth(sf_dir: str, n_buckets: int = 64):
+    """Heaps-law vocabulary growth curve: for every document (in doc_id
+    order), the cumulative number of DISTINCT terms seen in all documents
+    up to and including it — the corpus-stats curve that sizes tokenizer
+    vocabularies and detects corpus drift.
+
+    Scale shape: composition of the two bounded primitives the repo
+    already proves out — (1) term first-occurrence is a token-bucketed
+    ``min(doc_id)`` per term (the vocabulary never leaves its bucket,
+    docs_top_terms' rule) folded into per-bucket (first_doc, n_new)
+    histogram partials; (2) the cumulative curve is the pack_sequences
+    range-bucketed PREFIX-SUM: bucket totals fold to <= n_buckets driver
+    rows whose exclusive cumsum broadcasts as offsets, then each bucket
+    locally sorts, sums per doc, cumsums and adds its offset. No global
+    sort, no driver data pass."""
+    import pyarrow.parquet as pq
+
+    if pq.ParquetFile(_t(sf_dir, "documents")).metadata.num_rows == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": np.asarray([], dtype=np.int64),
+            "vocab_size": np.asarray([], dtype=np.int64)}))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    tok_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.string()),
+                          "_kb": pa.array([], pa.int64())})
+
+    def explode_distinct(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return tok_empty
+        toks = df["text"].map(lambda t: list(set(t.split(" "))))
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64), lens),
+            "w": np.concatenate(toks.to_numpy())})
+        out["_kb"] = _crc_bucket(out["w"], n_buckets)
+        return _arrow(out)
+
+    def first_docs(g: pd.DataFrame) -> pa.Table:
+        counts = g.groupby("w", sort=False)["doc_id"].min().value_counts()
+        return pa.table({
+            "doc_id": pa.array(counts.index.to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "n_new": pa.array(counts.to_numpy(dtype=np.int64), pa.int64())})
+
+    hist = docs.map_batches(explode_distinct, batch_format="pandas") \
+        .groupby("_kb").map_groups(first_docs, batch_format="pandas")
+
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    base = ids.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "n_new": pa.array(
+                                np.zeros(t.num_rows, dtype=np.int64),
+                                pa.int64())}),
+        batch_format="pyarrow")
+    rng = ids.aggregate(Min("doc_id", alias_name="lo"),
+                        Max("doc_id", alias_name="hi"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.subtract(t.column("doc_id"),
+                                  pa.scalar(lo, pa.int64())),
+                      pa.scalar(width, pa.int64()))
+        return t.append_column("bucket", b.cast(pa.int64()))
+
+    both = hist.union(base).map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+    totals = both.groupby("bucket") \
+        .aggregate(Sum("n_new", alias_name="total")).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    csum = totals["total"].to_numpy(dtype=np.int64).cumsum()
+    offsets = dict(zip(totals["bucket"].astype(int),
+                       np.concatenate([[0], csum[:-1]]).tolist()))
+    off_ref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", as_index=False)["n_new"].sum() \
+            .sort_values("doc_id", kind="stable")
+        vocab = agg["n_new"].to_numpy(dtype=np.int64).cumsum() \
+            + ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(dtype=np.int64),
+                               pa.int64()),
+            "vocab_size": pa.array(vocab, pa.int64())})
+
+    return both.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
 def docs_weighted_sample(sf_dir: str, k: int = 20):
     """Deterministic weighted sample without replacement (Efraimidis &
     Spirakis A-ES, the public weighted-reservoir recipe): each doc gets

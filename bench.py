@@ -42,7 +42,7 @@ BENCH_QUERIES = (
     "token_quantiles", "split_assign",
     "decontaminate", "stratified_sample", "docs_pack_sequences", "docs_tfidf",
     "docs_postings", "text_normalize",
-    "docs_weighted_sample", "docs_c4_filter",
+    "docs_weighted_sample", "docs_c4_filter", "docs_vocab_growth",
     "text_token_count", "text_quality",
     "text_lang_id", "text_scrub_pii", "text_repetition", "docs_top_terms",
     "events_retention",

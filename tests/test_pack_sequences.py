@@ -102,3 +102,29 @@ def test_weighted_sample_matches_sequential_aes(ray_session, tmp_path):
             .sort_values("rank"))
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   got2.reset_index(drop=True))
+
+
+def test_vocab_growth_matches_pandas(ray_session):
+    """Cumulative distinct-vocab curve vs a sequential set-union walk."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from address_semantic_search_ray.pipelines.queries import (
+        docs_vocab_growth,
+    )
+
+    SF_DIR = "/root/testdata/sf0.001"
+    got = docs_vocab_growth(SF_DIR).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(SF_DIR + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    seen: set = set()
+    want = []
+    for t in docs["text"]:
+        seen.update(t.split(" "))
+        want.append(len(seen))
+    assert list(got["doc_id"]) == list(docs["doc_id"])
+    assert list(got["vocab_size"]) == want
+    assert (np.diff(got["vocab_size"].to_numpy()) >= 0).all()
