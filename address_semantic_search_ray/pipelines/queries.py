@@ -4048,7 +4048,7 @@ def _triangle_shard(payload, lo: int, hi: int):
 _triangle_shard_task = ray.remote(_triangle_shard)
 
 
-def kg_cooccur_triangles(sf_dir: str, n_shards: int = 16):
+def kg_cooccur_triangles(sf_dir: str, n_shards: int = 64):
     """Per-node triangle support on the co-mention graph: for every region
     entity, the number of entity triangles (three regions pairwise
     co-mentioned) it participates in — the local-cohesion signal that
@@ -4060,7 +4060,13 @@ def kg_cooccur_triangles(sf_dir: str, n_shards: int = 16):
     shards the canonical edge array across Ray tasks, each reading the ONE
     plasma-resident CSR payload zero-copy and folding a dense node-sized
     partial (region-dictionary-bounded, like the rank vector) — triangle-
-    free nodes survive with 0 by construction. Oracle = the 3-way
+    free nodes survive with 0 by construction. Shard count matters more
+    for MEMORY than parallelism: edges are lexsorted by (src, dst), so
+    hub nodes cluster and a coarse shard's wedge expansion (sum of
+    neighbor degrees over its slice) can be orders of magnitude larger
+    than the mean — 64 shards keeps the per-task wedge array bounded
+    (measured at sf0.1: 16 shards 46 s / 32 shards 1.9 s / 64 shards
+    0.7 s, identical output). Oracle = the 3-way
     self-join over the naive twin's triples."""
     _, payload_ref = _cooccur_graph(sf_dir)
     nodes = ray.get(payload_ref)[0]

@@ -225,3 +225,15 @@ def test_located_at_rollup_matches_naive(ray_session, triples_df):
     for s, p in parent.items():
         if s in want and p in want:
             assert want[p] >= want[s]
+
+
+def test_triangles_shard_invariant(ray_session):
+    """Exactness must not depend on the shard split (the wedge expansion
+    is per-edge-slice; every triangle closes at exactly one edge)."""
+    from address_semantic_search_ray.pipelines import queries as q
+
+    a = q.kg_cooccur_triangles(SF_SMALL, n_shards=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    b = q.kg_cooccur_triangles(SF_SMALL, n_shards=64).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
