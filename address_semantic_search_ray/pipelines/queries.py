@@ -3957,18 +3957,20 @@ def _build_cooccur_graph(*tables):
                           "obj_b": pa.array([], pa.string()),
                           "n_convs": pa.array([], pa.int64())})]
     t = pa.concat_tables(tabs)
-    a = np.asarray(t.column("obj_a").to_pylist(), dtype=str)
-    b = np.asarray(t.column("obj_b").to_pylist(), dtype=str)
+    a_col = t.column("obj_a").combine_chunks()
+    b_col = t.column("obj_b").combine_chunks()
     w = t.column("n_convs").to_numpy().astype(np.float64)
-    if not len(a):
-        nodes = np.asarray([], dtype=str)
-    else:
-        nodes = np.unique(np.concatenate([a, b]))
-    # vectorized node-id mapping: nodes is sorted unique and every edge
-    # endpoint is present, so searchsorted IS the index (the python-dict +
-    # fromiter version cost ~10 s at 1M+ edges)
-    ai = np.searchsorted(nodes, a).astype(np.int64)
-    bi = np.searchsorted(nodes, b).astype(np.int64)
+    # node-id mapping entirely in arrow kernels (unique + sort + hash-join
+    # index_in): the edge columns never pass through python objects — the
+    # to_pylist + np.unique version cost ~10 s at 1M+ edges. Arrow sorts
+    # utf8 bytewise, which equals code-point order (a UTF-8 property), so
+    # the node order is identical to np.unique's and the canonical
+    # obj_a < obj_b still implies ai < bi.
+    uniq = pc.unique(pa.chunked_array([a_col, b_col]))
+    nodes_arr = pc.take(uniq, pc.sort_indices(uniq))
+    nodes = np.asarray(nodes_arr.to_pylist(), dtype=str)  # dict-bounded
+    ai = pc.index_in(a_col, value_set=nodes_arr).to_numpy().astype(np.int64)
+    bi = pc.index_in(b_col, value_set=nodes_arr).to_numpy().astype(np.int64)
     src = np.concatenate([ai, bi])
     dst = np.concatenate([bi, ai])
     ww = np.concatenate([w, w])
